@@ -1,0 +1,258 @@
+"""Batched banded edit-distance alignment on device (XLA scan wavefront).
+
+TPU-first re-design of [U] falcon-kit DW_banded.c::align (the O(nd) banded
+diff aligner) and of blasr's banded extension DP (SURVEY.md §2b):
+
+* The band has FIXED width W and follows the slope-1/2 diagonal with a
+  data-independent shift schedule (``oracle.align.band_lo``), so one
+  ``lax.scan`` step updates a whole (P, W) tile of P pairs with pure
+  elementwise min/compare ops — no gathers, no per-pair control flow.
+* Query/target characters for an antidiagonal are CONTIGUOUS slices of a
+  guard-padded query and a guard-padded *reversed* target, shared across
+  the batch — two ``dynamic_slice`` ops per step.
+* Backpointers stream out as an int8 (Dmax, P, W) tensor; traceback is a
+  second batched scan of (P,) gathers.
+
+Semantics are defined by and tested against ``oracle.align``.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..seq import PAD
+from ..oracle.align import GAP, INF, band_lo
+
+MOVE_DIAG, MOVE_UP, MOVE_LEFT, MOVE_NONE = 0, 1, 2, 3
+
+
+def _round128(x: int) -> int:
+    return -(-x // 128) * 128
+
+
+def build_schedule(Lq: int, Lt: int, W: int):
+    """Host-side band schedule for padded lengths (Lq, Lt): lo per antidiag."""
+    Dmax = Lq + Lt + 1
+    lo = np.array([band_lo(d, W) for d in range(Dmax)], dtype=np.int32)
+    return Dmax, lo
+
+
+def prepare_batch(q: np.ndarray, t: np.ndarray, W: int):
+    """Guard-pad query and reversed target for shared-slice wavefront access.
+
+    q: (P, Lq) int8 padded with PAD;  t: (P, Lt) int8.
+    Returns (qg, trg, G) with
+      qg[:, k]  == q[:, k-1]      (so q[i-1] = qg[i])
+      trg[:, G+k] == t[:, Lt-1-k] (so t[j-1] = trg[G + Lt - j])
+    """
+    P, Lq = q.shape
+    _, Lt = t.shape
+    LQG = _round128((Lq + Lt + 1) // 2 + W // 2 + 2)
+    qg = np.full((P, LQG), PAD, dtype=np.int8)
+    qg[:, 1 : Lq + 1] = q
+    G = W + max(0, (Lq - Lt + 1) // 2) + 2
+    LTG = _round128(G + Lt + W + 2)
+    trg = np.full((P, LTG), PAD, dtype=np.int8)
+    trg[:, G : G + Lt] = t[:, ::-1]
+    return qg, trg, G
+
+
+def _shift(V, k, fill):
+    """out[w] = V[w+k] (k in {-1, 0, 1}), edges filled."""
+    if k == 0:
+        return V
+    col = jnp.full((V.shape[0], 1), fill, dtype=V.dtype)
+    if k == 1:
+        return jnp.concatenate([V[:, 1:], col], axis=1)
+    return jnp.concatenate([col, V[:, :-1]], axis=1)
+
+
+def _shift_sel(V, s, base_k, fill):
+    """Select shift by traced scalar s in {0,1}: shift amount base_k + s."""
+    a = _shift(V, base_k, fill)
+    b = _shift(V, base_k + 1, fill)
+    return jnp.where(s == 0, a, b)
+
+
+@functools.partial(jax.jit, static_argnames=("W", "Lt", "G", "mode", "want_bp"))
+def banded_align_batch(qg, trg, n, m, lo_arr, *, W: int, Lt: int, G: int,
+                       mode: str = "global", want_bp: bool = True):
+    """Batched banded DP.
+
+    qg:  (P, LQG) int8 guarded query
+    trg: (P, LTG) int8 guarded reversed target
+    n, m: (P,) int32 true lengths
+    lo_arr: (Dmax,) int32 band schedule
+
+    Returns dict with dist (P,), end_i/end_j (P,), and bp (Dmax, P, W) int8
+    (only if want_bp).
+    """
+    P = qg.shape[0]
+    Dmax = lo_arr.shape[0]
+    w_iota = jnp.arange(W, dtype=jnp.int32)[None, :]          # (1, W)
+    inf = jnp.int32(INF)
+    n = n.astype(jnp.int32)[:, None]
+    m = m.astype(jnp.int32)[:, None]
+
+    def step(carry, d):
+        V1, V2, best, best_j, final = carry
+        lo = lo_arr[d]
+        lo1 = jnp.where(d >= 1, lo_arr[jnp.maximum(d - 1, 0)], 0)
+        lo2 = jnp.where(d >= 2, lo_arr[jnp.maximum(d - 2, 0)], 0)
+        s1 = lo - lo1
+        s2 = lo - lo2
+
+        i = lo + w_iota                                        # (1, W)
+        j = d - i
+
+        up = _shift_sel(V1, s1, -1, inf)        # (i-1, j)   at w + s1 - 1
+        left = _shift_sel(V1, s1, 0, inf)       # (i, j-1)   at w + s1
+        diag = _shift_sel(V2, s2, -1, inf)      # (i-1, j-1) at w + s2 - 1
+
+        qi = jax.lax.dynamic_slice(qg, (0, lo), (P, W))
+        tj = jax.lax.dynamic_slice(trg, (0, G + Lt - d + lo), (P, W))
+        sub = jnp.where((qi == tj) & (qi < 4), 0, 1).astype(jnp.int32)
+
+        cd = jnp.where((i >= 1) & (j >= 1), diag + sub, inf)
+        cu = jnp.where(i >= 1, up + 1, inf)
+        cl = jnp.where(j >= 1, left + 1, inf)
+
+        V = jnp.minimum(jnp.minimum(cd, cu), cl)
+        mv = jnp.where(cd <= V, MOVE_DIAG,
+                       jnp.where(cu <= V, MOVE_UP, MOVE_LEFT)).astype(jnp.int8)
+
+        origin = (i == 0) & (j == 0)
+        valid = (i >= 0) & (i <= n) & (j >= 0) & (j <= m)
+        V = jnp.where(origin, 0, V)
+        V = jnp.where(valid, V, inf)
+        V = jnp.minimum(V, inf)
+        bp_d = jnp.where(valid & ~origin & (V < inf), mv,
+                         MOVE_NONE).astype(jnp.int8)
+
+        # qglocal: running best over cells with i == n
+        at_end = valid & (i == n)
+        Vend = jnp.where(at_end, V, inf)
+        wmin = jnp.argmin(Vend, axis=1)
+        vmin = jnp.take_along_axis(Vend, wmin[:, None], axis=1)[:, 0]
+        upd = vmin < best
+        best = jnp.where(upd, vmin, best)
+        best_j = jnp.where(upd, d - (lo + wmin.astype(jnp.int32)), best_j)
+
+        # global: capture V[n, m] when d == n + m
+        hit = (d == (n + m)[:, 0])
+        wnm = jnp.clip(n[:, 0] - lo, 0, W - 1)
+        vnm = jnp.take_along_axis(V, wnm[:, None], axis=1)[:, 0]
+        final = jnp.where(hit, vnm, final)
+
+        out = bp_d if want_bp else jnp.zeros((), dtype=jnp.int8)
+        return (V, V1, best, best_j, final), out
+
+    V0 = jnp.full((P, W), INF, dtype=jnp.int32)
+    init = (V0, V0, jnp.full((P,), INF, dtype=jnp.int32),
+            jnp.full((P,), -1, dtype=jnp.int32),
+            jnp.full((P,), INF, dtype=jnp.int32))
+    (_, _, best, best_j, final), bp = jax.lax.scan(
+        step, init, jnp.arange(Dmax, dtype=jnp.int32))
+
+    if mode == "global":
+        dist, end_i, end_j = final, n[:, 0], m[:, 0]
+    else:
+        dist, end_i, end_j = best, n[:, 0], best_j
+    out = {"dist": dist, "end_i": end_i, "end_j": end_j}
+    if want_bp:
+        out["bp"] = bp
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("max_steps",))
+def traceback_batch(bp, lo_arr, end_i, end_j, *, max_steps: int):
+    """Batched traceback. Returns moves (P, max_steps) int8 in REVERSE order
+    (first entry = last move); MOVE_NONE past the end."""
+    Dmax, P, W = bp.shape
+    bp_flat = bp.transpose(1, 0, 2).reshape(P, Dmax * W)
+
+    def step(carry, _):
+        i, j = carry
+        d = i + j
+        lo = lo_arr[jnp.clip(d, 0, Dmax - 1)]
+        w = jnp.clip(i - lo, 0, W - 1)
+        done = (i <= 0) & (j <= 0)
+        idx = jnp.clip(d, 0, Dmax - 1) * W + w
+        mv = jnp.take_along_axis(bp_flat, idx[:, None], axis=1)[:, 0]
+        mv = jnp.where(done, MOVE_NONE, mv).astype(jnp.int8)
+        di = jnp.where((mv == MOVE_DIAG) | (mv == MOVE_UP), 1, 0)
+        dj = jnp.where((mv == MOVE_DIAG) | (mv == MOVE_LEFT), 1, 0)
+        return (i - di, j - dj), mv
+
+    (_, _), moves = jax.lax.scan(
+        step, (end_i.astype(jnp.int32), end_j.astype(jnp.int32)),
+        None, length=max_steps)
+    return moves.T  # (P, max_steps)
+
+
+def moves_forward(moves_rev: np.ndarray) -> list[np.ndarray]:
+    """Reverse-order padded moves -> list of forward move arrays per pair."""
+    out = []
+    for row in np.asarray(moves_rev):
+        row = row[row != MOVE_NONE]
+        out.append(row[::-1].astype(np.int8))
+    return out
+
+
+def moves_to_tags_vec(q: np.ndarray, moves: np.ndarray,
+                      t_offset: int = 0) -> np.ndarray:
+    """Vectorized numpy tags from forward moves (spec: oracle.moves_to_tags)."""
+    if len(moves) == 0:
+        return np.zeros((0, 3), dtype=np.int32)
+    mv = np.asarray(moves)
+    is_d = mv == MOVE_DIAG
+    is_u = mv == MOVE_UP
+    is_l = mv == MOVE_LEFT
+    consumes_t = is_d | is_l
+    consumes_q = is_d | is_u
+    j = np.cumsum(consumes_t) - 1          # t index of this move (for d/l)
+    i = np.cumsum(consumes_q) - 1          # q index (for d/u)
+    # t_pos: for diag/left -> j; for up -> last consumed t index (ffill)
+    last_j = np.where(consumes_t, j, -1)
+    last_j = np.maximum.accumulate(last_j)
+    t_pos = np.where(consumes_t, j, last_j)
+    # delta for an up at position p = p - (index of last t-consuming move
+    # before p); count of consecutive ups since last diag/left.
+    pos_in = np.arange(len(mv))
+    lastc = np.where(consumes_t, pos_in, -1)
+    lastc = np.maximum.accumulate(lastc)
+    delta = np.where(is_u, pos_in - lastc, 0).astype(np.int64)
+    base = np.where(is_l, GAP, q[np.clip(i, 0, max(len(q) - 1, 0))])
+    tags = np.stack([t_pos + t_offset, delta, base], axis=1).astype(np.int32)
+    return tags
+
+
+class BandedAligner:
+    """High-level batched aligner over same-shape (bucketed) pair batches."""
+
+    def __init__(self, W: int = 128, mode: str = "global"):
+        self.W = W
+        self.mode = mode
+
+    def __call__(self, q: np.ndarray, t: np.ndarray,
+                 n: np.ndarray, m: np.ndarray, want_moves: bool = True):
+        """q (P, Lq), t (P, Lt) int8; n, m true lengths. Returns dict of
+        numpy arrays: dist, end_i, end_j [, moves list of forward arrays]."""
+        P, Lq = q.shape
+        Lt = t.shape[1]
+        qg, trg, G = prepare_batch(q, t, self.W)
+        Dmax, lo = build_schedule(Lq, Lt, self.W)
+        res = banded_align_batch(
+            jnp.asarray(qg), jnp.asarray(trg),
+            jnp.asarray(n), jnp.asarray(m), jnp.asarray(lo),
+            W=self.W, Lt=Lt, G=G, mode=self.mode, want_bp=want_moves)
+        out = {k: np.asarray(v) for k, v in res.items() if k != "bp"}
+        if want_moves:
+            moves_rev = traceback_batch(
+                res["bp"], jnp.asarray(lo),
+                res["end_i"], res["end_j"], max_steps=Lq + Lt)
+            out["moves"] = moves_forward(np.asarray(moves_rev))
+        return out
