@@ -1,0 +1,163 @@
+"""Seed-chain-extend read→contig aligner (the blasr role).
+
+Role parity: [U] blasr (suffix-array anchoring → SDP chaining → banded
+affine alignment → BAM), invoked per contig by the reference's phasing and
+quiver task scripts (SURVEY.md §2b, §3.1, §3.4).
+
+TPU-first re-design: anchoring/chaining are vectorized host numpy over
+flat anchor arrays (tiny fraction of runtime); the extension DP — where
+the FLOPs are — runs as the batched banded wavefront on device
+(`ops.banded_align`), with reads bucketed by length so each bucket is one
+fixed-shape device program.  Output is a columnar AlnSet (arrays, not
+per-read objects), which feeds pileup/phasing as tensors.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..seq import PAD, SeqBatch, revcomp
+from ..ops.banded_align import BandedAligner, moves_to_tags_vec
+from ..ops.kmer_index import KmerIndex, seed_read
+
+
+@dataclasses.dataclass
+class AlnSet:
+    """Columnar alignment records for a read batch vs a contig set."""
+
+    read_id: np.ndarray    # (A,) int32 index into the read batch
+    ctg: np.ndarray        # (A,) int32
+    strand: np.ndarray     # (A,) int8   0 fwd / 1 rc
+    t_start: np.ndarray    # (A,) int64  contig-local start of alignment
+    t_end: np.ndarray      # (A,) int64
+    q_len: np.ndarray      # (A,) int32
+    dist: np.ndarray       # (A,) int32 edit distance
+    tags: list[np.ndarray] # per-record (n,3) int32 (t_pos, delta, base),
+                           # t_pos in CONTIG-local coordinates
+
+    def __len__(self) -> int:
+        return len(self.read_id)
+
+    def identity(self) -> np.ndarray:
+        span = np.maximum(self.t_end - self.t_start, 1)
+        return 1.0 - self.dist / span
+
+
+@dataclasses.dataclass
+class AlignerConfig:
+    k: int = 13
+    max_hits: int = 64           # kmer repeat filter
+    band: int = 256              # DP band width W
+    # Window slack. The slope-1/2 band covers start offsets o <= ~W, so the
+    # pad must stay well under the band width; anchor-diagonal drift from
+    # indels eats the rest of the margin (see seed window math in
+    # ops.kmer_index.chain_diag_bins).
+    window_pad: int = 48
+    min_anchors: int = 4
+    max_hits_per_read: int = 1   # placements kept per read
+    min_identity: float = 0.65
+    batch_pairs: int = 64        # device batch size
+
+
+class ReadToContigAligner:
+    """Map a read batch onto contigs; emit AlnSet with per-read tags."""
+
+    def __init__(self, contigs: list[np.ndarray], cfg: AlignerConfig | None = None):
+        self.cfg = cfg or AlignerConfig()
+        self.contigs = [np.asarray(c, dtype=np.int8) for c in contigs]
+        self.index = KmerIndex.build(self.contigs, k=self.cfg.k,
+                                     max_hits=self.cfg.max_hits)
+        self._aligners: dict[tuple[int, int], BandedAligner] = {}
+
+    def _aligner(self) -> BandedAligner:
+        if "a" not in self._aligners:
+            self._aligners["a"] = BandedAligner(W=self.cfg.band, mode="tglocal")
+        return self._aligners["a"]
+
+    def align_batch(self, reads: SeqBatch) -> AlnSet:
+        cfg = self.cfg
+        # 1) seed + chain every read (host)
+        jobs = []  # (read_id, strand, ctg, win_lo, win_hi, q int8 array)
+        for rid in range(len(reads)):
+            r = reads.row(rid)
+            if len(r) < cfg.k:
+                continue
+            hits = seed_read(self.index, r,
+                             min_anchors=cfg.min_anchors,
+                             max_hits_per_read=cfg.max_hits_per_read)
+            for h in hits[: cfg.max_hits_per_read]:
+                ctg = self.contigs[h.ctg]
+                lo = max(0, h.t_lo - cfg.window_pad)
+                hi = min(len(ctg), h.t_hi + cfg.window_pad)
+                if hi - lo < cfg.k:
+                    continue
+                q = r if h.strand == 0 else revcomp(r)
+                jobs.append((rid, h.strand, h.ctg, lo, hi, q))
+
+        # 2) bucket jobs by padded shapes and run the device DP
+        out = {k: [] for k in
+               ("read_id", "ctg", "strand", "t_start", "t_end",
+                "q_len", "dist")}
+        tags_out: list[np.ndarray] = []
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for ji, (_, _, _, lo, hi, q) in enumerate(jobs):
+            bq = _bucket(len(q))
+            bt = _bucket(hi - lo)
+            buckets.setdefault((bq, bt), []).append(ji)
+
+        aligner = self._aligner()
+        for (bq, bt), jidx in sorted(buckets.items()):
+            for s in range(0, len(jidx), cfg.batch_pairs):
+                chunk = jidx[s : s + cfg.batch_pairs]
+                P = len(chunk)
+                qa = np.full((P, bq), PAD, np.int8)
+                ta = np.full((P, bt), PAD, np.int8)
+                nn = np.zeros(P, np.int32)
+                mm = np.zeros(P, np.int32)
+                for pi, ji in enumerate(chunk):
+                    rid, strand, ctg, lo, hi, q = jobs[ji]
+                    qa[pi, : len(q)] = q
+                    ta[pi, : hi - lo] = self.contigs[ctg][lo:hi]
+                    nn[pi] = len(q)
+                    mm[pi] = hi - lo
+                res = aligner(qa, ta, nn, mm, want_moves=True)
+                for pi, ji in enumerate(chunk):
+                    rid, strand, ctg, lo, hi, q = jobs[ji]
+                    moves = res["moves"][pi]
+                    dist = int(res["dist"][pi])
+                    end_j = int(res["end_j"][pi])
+                    n_diag = int((moves == 0).sum())
+                    n_left = int((moves == 2).sum())
+                    start_j = end_j - (n_diag + n_left)
+                    span = max(end_j - start_j, 1)
+                    if 1.0 - dist / span < cfg.min_identity:
+                        continue
+                    tags = moves_to_tags_vec(q[: len(q)], moves,
+                                             t_offset=lo + start_j)
+                    out["read_id"].append(rid)
+                    out["ctg"].append(ctg)
+                    out["strand"].append(strand)
+                    out["t_start"].append(lo + start_j)
+                    out["t_end"].append(lo + end_j)
+                    out["q_len"].append(len(q))
+                    out["dist"].append(dist)
+                    tags_out.append(tags)
+
+        return AlnSet(
+            read_id=np.array(out["read_id"], np.int32),
+            ctg=np.array(out["ctg"], np.int32),
+            strand=np.array(out["strand"], np.int8),
+            t_start=np.array(out["t_start"], np.int64),
+            t_end=np.array(out["t_end"], np.int64),
+            q_len=np.array(out["q_len"], np.int32),
+            dist=np.array(out["dist"], np.int32),
+            tags=tags_out,
+        )
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b

@@ -124,7 +124,10 @@ def banded_align_batch(qg, trg, n, m, lo_arr, *, W: int, Lt: int, G: int,
         mv = jnp.where(cd <= V, MOVE_DIAG,
                        jnp.where(cu <= V, MOVE_UP, MOVE_LEFT)).astype(jnp.int8)
 
-        origin = (i == 0) & (j == 0)
+        if mode == "tglocal":
+            origin = (i == 0) & (j >= 0)
+        else:
+            origin = (i == 0) & (j == 0)
         valid = (i >= 0) & (i <= n) & (j >= 0) & (j <= m)
         V = jnp.where(origin, 0, V)
         V = jnp.where(valid, V, inf)
@@ -159,7 +162,7 @@ def banded_align_batch(qg, trg, n, m, lo_arr, *, W: int, Lt: int, G: int,
 
     if mode == "global":
         dist, end_i, end_j = final, n[:, 0], m[:, 0]
-    else:
+    else:  # qglocal / tglocal: best cell on row i == n
         dist, end_i, end_j = best, n[:, 0], best_j
     out = {"dist": dist, "end_i": end_i, "end_j": end_j}
     if want_bp:

@@ -1,0 +1,168 @@
+"""K-mer index over contigs: vectorized build + query (host, numpy).
+
+Role parity: blasr's suffix-array seed anchoring and minimap2's minimizer
+index ([U] SURVEY.md §2b).  Re-design: a sorted (kmer_code, position)
+table with searchsorted queries — fully vectorized numpy, no per-base
+Python loops; the downstream chain/extend stages consume flat anchor
+arrays.  Device-side query (jnp searchsorted over a replicated/sharded
+index) shares the same table layout (SURVEY.md §7 P2).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..seq import PAD, revcomp
+
+
+def kmer_codes(seq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """All k-mer codes of an int8 sequence.
+
+    Returns (codes int64 (n-k+1,), valid bool) — invalid where any base >= 4.
+    """
+    seq = np.asarray(seq, dtype=np.int64)
+    n = len(seq)
+    if n < k:
+        return np.zeros(0, np.int64), np.zeros(0, bool)
+    pw = 4 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    win = np.lib.stride_tricks.sliding_window_view(seq, k)
+    codes = win @ pw
+    valid = (win < 4).all(axis=1)
+    return codes, valid
+
+
+@dataclasses.dataclass
+class KmerIndex:
+    """Sorted k-mer table over a set of contigs."""
+
+    k: int
+    codes: np.ndarray       # sorted k-mer codes (int64)
+    pos: np.ndarray         # global position of each code (int64)
+    ctg_id: np.ndarray      # contig of each code (int32)
+    ctg_starts: np.ndarray  # global start of each contig (int64, n_ctg+1)
+    max_hits: int = 64      # repeat filter: ignore kmers more frequent
+
+    @staticmethod
+    def build(contigs: list[np.ndarray], k: int = 13,
+              max_hits: int = 64) -> "KmerIndex":
+        all_codes, all_pos, all_ctg = [], [], []
+        starts = np.zeros(len(contigs) + 1, dtype=np.int64)
+        off = 0
+        for ci, c in enumerate(contigs):
+            codes, valid = kmer_codes(c, k)
+            idx = np.nonzero(valid)[0]
+            all_codes.append(codes[idx])
+            all_pos.append(idx.astype(np.int64))
+            all_ctg.append(np.full(len(idx), ci, dtype=np.int32))
+            starts[ci] = off
+            off += len(c)
+        starts[len(contigs)] = off
+        codes = np.concatenate(all_codes) if all_codes else np.zeros(0, np.int64)
+        pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.int64)
+        ctg = np.concatenate(all_ctg) if all_ctg else np.zeros(0, np.int32)
+        order = np.argsort(codes, kind="stable")
+        return KmerIndex(k=k, codes=codes[order], pos=pos[order],
+                         ctg_id=ctg[order], ctg_starts=starts,
+                         max_hits=max_hits)
+
+    def query(self, read: np.ndarray):
+        """Anchors of a read against the index (forward strand of read).
+
+        Returns (q_pos, t_pos, t_ctg) int64/int32 arrays of matches.
+        """
+        codes, valid = kmer_codes(read, self.k)
+        qpos_all = np.nonzero(valid)[0]
+        codes = codes[qpos_all]
+        lo = np.searchsorted(self.codes, codes, side="left")
+        hi = np.searchsorted(self.codes, codes, side="right")
+        cnt = hi - lo
+        keep = (cnt > 0) & (cnt <= self.max_hits)
+        lo, hi, qp = lo[keep], hi[keep], qpos_all[keep]
+        total = int((hi - lo).sum())
+        if total == 0:
+            z = np.zeros(0, np.int64)
+            return z, z, np.zeros(0, np.int32)
+        # expand ranges: for each kept kmer, indices lo..hi
+        reps = hi - lo
+        out_idx = np.repeat(lo, reps) + (
+            np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps))
+        q_pos = np.repeat(qp, reps)
+        return q_pos, self.pos[out_idx], self.ctg_id[out_idx]
+
+
+@dataclasses.dataclass
+class SeedHit:
+    """Chained seed placement of a read on a contig."""
+
+    ctg: int
+    strand: int          # 0 = forward, 1 = reverse-complement
+    diag: int            # approx t_pos - q_pos
+    t_lo: int            # approx target window
+    t_hi: int
+    score: int           # number of supporting anchors
+
+
+def chain_diag_bins(q_pos, t_pos, t_ctg, read_len: int, k: int,
+                    bin_width: int = 64, min_anchors: int = 4,
+                    max_hits_per_read: int = 4) -> list[SeedHit]:
+    """Diagonal-binning chainer (minimap2-rough style).
+
+    Anchors vote into (ctg, (t_pos - q_pos) // bin_width) bins; winning
+    bins (plus neighbors) define the placement window.  O(anchors) and
+    fully vectorized.
+    """
+    if len(q_pos) == 0:
+        return []
+    diag = t_pos - q_pos
+    key = t_ctg.astype(np.int64) * (1 << 40) + ((diag + (1 << 30)) // bin_width)
+    uniq, inv, counts = np.unique(key, return_inverse=True, return_counts=True)
+    # merge votes from neighboring bins
+    order = np.argsort(uniq)
+    merged = counts.copy()
+    same_ctg = (uniq[1:] >> 40) == (uniq[:-1] >> 40)
+    adjacent = (uniq[1:] - uniq[:-1]) == 1
+    nb = same_ctg & adjacent
+    merged[1:][nb] += counts[:-1][nb]
+    merged[:-1][nb] += counts[1:][nb]
+    hits: list[SeedHit] = []
+    used_diag: list[tuple[int, int]] = []
+    for bi in np.argsort(-merged)[: max_hits_per_read * 4]:
+        if merged[bi] < min_anchors:
+            break
+        ctg = int(uniq[bi] >> 40)
+        dbin = int(uniq[bi] & ((1 << 40) - 1)) - ((1 << 30) // bin_width)
+        d0 = dbin * bin_width
+        if any(c == ctg and abs(d0 - d) <= 2 * bin_width for c, d in used_diag):
+            continue
+        sel = (inv == bi)
+        dg = diag[sel]
+        # extrapolate the read span from the anchor diagonals:
+        # read pos 0 maps near t = diag, read end near t = diag + read_len
+        t_lo = int(dg.min())
+        t_hi = int(dg.max() + read_len + k)
+        hits.append(SeedHit(ctg=ctg, strand=0, diag=d0,
+                            t_lo=t_lo, t_hi=t_hi, score=int(merged[bi])))
+        used_diag.append((ctg, d0))
+        if len(hits) >= max_hits_per_read:
+            break
+    return hits
+
+
+def seed_read(index: KmerIndex, read: np.ndarray, read_len: int | None = None,
+              **chain_kw) -> list[SeedHit]:
+    """Seed+chain a read on both strands. t_lo/t_hi are contig-local."""
+    if read_len is None:
+        read_len = len(read)
+    out = []
+    for strand, r in ((0, read), (1, revcomp(read))):
+        q_pos, t_pos, t_ctg = index.query(r)
+        # contig-local coordinates
+        t_local = t_pos
+        hits = chain_diag_bins(q_pos, t_local, t_ctg, read_len, index.k,
+                               **chain_kw)
+        for h in hits:
+            h.strand = strand
+        out.extend(hits)
+    out.sort(key=lambda h: -h.score)
+    return out

@@ -20,6 +20,8 @@ Semantics:
   costs: match 0, mismatch 1, insertion(q base vs gap) 1, deletion 1.
   mode 'global':  align all of q to all of t; answer D[n, m].
   mode 'qglocal': align all of q, free tail of t; answer min_j D[n, j].
+  mode 'tglocal': align all of q, free start AND tail of t (D[0, j] = 0);
+                  answer min_j D[n, j]; traceback stops at row i == 0.
   traceback tie-break: diag > up(q-consuming) > left(t-consuming).
 Moves encoding: 0 = diag, 1 = up (insertion in q), 2 = left (deletion).
 """
@@ -132,15 +134,18 @@ def banded_dp(q, t, W: int, mode: str = "global"):
         V = np.minimum(np.minimum(cand_diag, cand_up), cand_left)
         mv = np.where(cand_diag <= V, MOVE_DIAG,
                       np.where(cand_up <= V, MOVE_UP, MOVE_LEFT)).astype(np.int8)
-        # seed origin
-        origin = (i == 0) & (j == 0)
+        # seed origin (free-start modes seed the whole i == 0 row)
+        if mode == "tglocal":
+            origin = (i == 0)
+        else:
+            origin = (i == 0) & (j == 0)
         V = np.where(origin, 0, V)
         V = np.where(valid, V, INF).astype(np.int32)
         V = np.minimum(V, INF)
         bp[d] = np.where(valid & ~origin & (V < INF), mv, 3)
 
         # answers
-        if mode == "qglocal":
+        if mode in ("qglocal", "tglocal"):
             at_end = valid & (i == n) & (V < best)
             if at_end.any():
                 w_best = int(np.argmin(np.where(at_end, V, INF)))
@@ -168,6 +173,8 @@ def traceback_banded(bp, lo_arr, end: tuple[int, int]):
         if not (0 <= w < bp.shape[1]):
             raise ValueError(f"traceback left the band at ({i},{j})")
         mv = int(bp[d, w])
+        if mv == 3 and i == 0:
+            break  # free-start origin row (tglocal)
         if mv == MOVE_DIAG:
             i -= 1; j -= 1
         elif mv == MOVE_UP:

@@ -36,7 +36,11 @@ def make_diploid(
     """Haplotype pair differing by SNPs at ~het_rate density."""
     rng = np.random.default_rng(seed)
     hap0 = random_genome(length, seed)
-    n_snp = max(1, int(length * het_rate))
+    n_snp = int(length * het_rate) if het_rate > 0 else 0
+    if n_snp == 0:
+        return Diploid(hap0=hap0, hap1=hap0.copy(),
+                       snp_pos=np.zeros(0, np.int64),
+                       snp_alt=np.zeros(0, np.int8))
     pos = np.sort(rng.choice(length, size=n_snp, replace=False))
     alt = (hap0[pos] + rng.integers(1, NBASE, size=n_snp)) % NBASE
     hap1 = hap0.copy()

@@ -1,0 +1,66 @@
+"""Seed-chain-extend aligner on simulated reads: placement + identity."""
+import numpy as np
+
+from falcon_unzip_tpu.models.aligner import AlignerConfig, ReadToContigAligner
+from falcon_unzip_tpu.oracle import align as oa
+from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
+
+
+def test_align_clean_reads_exact_placement():
+    dip = make_diploid(length=8000, het_rate=0.0, seed=0)
+    reads = simulate_reads(dip, coverage=4.0, read_len=1500,
+                           error_rate=0.0, seed=1)
+    al = ReadToContigAligner([dip.hap0])
+    res = al.align_batch(reads.batch)
+    assert len(res) >= int(0.9 * len(reads.batch))
+    placed = {}
+    for a in range(len(res)):
+        placed[int(res.read_id[a])] = a
+    for rid, a in placed.items():
+        assert res.dist[a] == 0
+        assert int(res.t_start[a]) == reads.start[rid]
+        assert int(res.t_end[a]) == reads.end[rid]
+
+
+def test_align_noisy_reads():
+    dip = make_diploid(length=6000, het_rate=0.0, seed=2)
+    reads = simulate_reads(dip, coverage=4.0, read_len=1200,
+                           error_rate=0.1, seed=3)
+    al = ReadToContigAligner([dip.hap0])
+    res = al.align_batch(reads.batch)
+    assert len(res) >= int(0.9 * len(reads.batch))
+    assert (res.identity() > 0.85).all()
+    # placements must be near truth
+    for a in range(len(res)):
+        rid = int(res.read_id[a])
+        assert abs(int(res.t_start[a]) - reads.start[rid]) < 50
+
+
+def test_align_reverse_strand():
+    from falcon_unzip_tpu.seq import SeqBatch, revcomp
+    dip = make_diploid(length=4000, het_rate=0.0, seed=4)
+    fwd = dip.hap0[1000:2500]
+    rc = revcomp(fwd)
+    batch = SeqBatch.from_strs([rc], names=["rc_read"])
+    al = ReadToContigAligner([dip.hap0])
+    res = al.align_batch(batch)
+    assert len(res) == 1
+    assert int(res.strand[0]) == 1
+    assert int(res.dist[0]) == 0
+    assert int(res.t_start[0]) == 1000
+    assert int(res.t_end[0]) == 2500
+
+
+def test_tags_reconstruct_read_bases():
+    # delta-0 tags at matched positions must equal the contig base when dist=0
+    dip = make_diploid(length=3000, het_rate=0.0, seed=5)
+    reads = simulate_reads(dip, coverage=2.0, read_len=800,
+                           error_rate=0.0, seed=6)
+    al = ReadToContigAligner([dip.hap0])
+    res = al.align_batch(reads.batch)
+    for a in range(min(3, len(res))):
+        tags = res.tags[a]
+        d0 = tags[tags[:, 1] == 0]
+        keep = d0[:, 2] < 4
+        assert np.array_equal(d0[keep, 2].astype(np.int8),
+                              dip.hap0[d0[keep, 0]])
