@@ -1,0 +1,68 @@
+"""Phasing: device ops == oracle; end-to-end phase recovery on sim data."""
+import numpy as np
+import pytest
+
+from falcon_unzip_tpu.models.aligner import ReadToContigAligner
+from falcon_unzip_tpu.models.phaser import (flat_delta0_tags,
+                                            phase_contig_device)
+from falcon_unzip_tpu.oracle import phasing as op
+from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
+
+
+@pytest.fixture(scope="module")
+def sim():
+    dip = make_diploid(length=12000, het_rate=0.01, seed=10)
+    reads = simulate_reads(dip, coverage=30.0, read_len=2000,
+                           error_rate=0.05, seed=11)
+    al = ReadToContigAligner([dip.hap0])
+    aln = al.align_batch(reads.batch)
+    return dip, reads, aln
+
+
+def test_device_matches_oracle(sim):
+    dip, reads, aln = sim
+    t_len = len(dip.hap0)
+    rec_idx = np.nonzero(aln.ctg == 0)[0]
+    tags_list = [aln.tags[a] for a in rec_idx]
+    cfg = op.PhasingConfig()
+    oracle = op.phase_contig(tags_list, aln.read_id[rec_idx], t_len, cfg)
+    dev = phase_contig_device(aln, 0, t_len, cfg)
+    assert np.array_equal(oracle["counts"], dev.counts)
+    assert np.array_equal(oracle["het_pos"], dev.het_pos)
+    assert np.array_equal(oracle["b1"], dev.b1)
+    assert np.array_equal(oracle["b2"], dev.b2)
+    assert np.array_equal(oracle["block_id"], dev.block_id)
+    assert np.array_equal(oracle["orient"], dev.orient)
+    assert np.array_equal(oracle["r_block"], dev.r_block)
+    assert np.array_equal(oracle["r_phase"], dev.r_phase)
+
+
+def test_het_sites_found(sim):
+    dip, reads, aln = sim
+    dev = phase_contig_device(aln, 0, len(dip.hap0))
+    true = set(dip.snp_pos.tolist())
+    found = set(dev.het_pos.tolist())
+    # most true SNPs recovered, few false positives
+    recall = len(true & found) / len(true)
+    precision = len(true & found) / max(len(found), 1)
+    assert recall > 0.8, recall
+    assert precision > 0.8, precision
+
+
+def test_read_phases_consistent_with_truth(sim):
+    dip, reads, aln = sim
+    dev = phase_contig_device(aln, 0, len(dip.hap0))
+    # within each block, phase labels must be consistent with true haplotypes
+    # up to a global flip per block
+    phased = dev.r_block >= 0
+    assert phased.sum() > 0.7 * len(dev.read_ids)
+    agree = 0
+    total = 0
+    for b in np.unique(dev.r_block[phased]):
+        sel = phased & (dev.r_block == b)
+        truth = reads.hap[dev.read_ids[sel]]
+        pred = dev.r_phase[sel]
+        match = max((truth == pred).sum(), (truth == 1 - pred).sum())
+        agree += int(match)
+        total += int(sel.sum())
+    assert agree / total > 0.95, (agree, total)
