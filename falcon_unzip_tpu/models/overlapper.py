@@ -1,0 +1,205 @@
+"""All-vs-all pread overlapper (the DALIGNER/LA4Falcon role).
+
+Role parity: [U] DALIGNER `daligner` + `LA4Falcon -mo` overlap dumps that
+feed ovlp_filter_with_phase and the string graph (SURVEY.md §2b).
+Re-design: overlap candidates come from the same k-mer index + diagonal
+chaining as the aligner; the overlap DP verification is the batched banded
+wavefront on device; output is a columnar OverlapSet (arrays in memory,
+not .las files) consumed directly by the graph builder.
+
+Overlap record convention (falcon/m4-style, b-coords on b's FORWARD
+strand never flipped; ``strand``=1 means b was reverse-complemented for
+the match):
+  a_start/a_end : matched window on a (forward)
+  b_start/b_end : matched window on b as used in the match orientation
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..seq import PAD, SeqBatch, revcomp
+from ..ops.banded_align import BandedAligner
+from ..ops.kmer_index import KmerIndex, chain_diag_bins
+
+
+@dataclasses.dataclass
+class OverlapSet:
+    a_id: np.ndarray      # (O,) int32
+    b_id: np.ndarray      # (O,) int32
+    strand: np.ndarray    # (O,) int8  0: b fwd, 1: b rc
+    a_start: np.ndarray   # (O,) int32 on a forward
+    a_end: np.ndarray     # (O,) int32
+    b_start: np.ndarray   # (O,) int32 on b in match orientation
+    b_end: np.ndarray     # (O,) int32
+    a_len: np.ndarray     # (O,) int32
+    b_len: np.ndarray     # (O,) int32
+    dist: np.ndarray      # (O,) int32 edit distance of the matched region
+
+    def __len__(self):
+        return len(self.a_id)
+
+    def identity(self) -> np.ndarray:
+        span = np.maximum(self.a_end - self.a_start, 1)
+        return 1.0 - self.dist / span
+
+
+@dataclasses.dataclass
+class OverlapperConfig:
+    k: int = 13
+    max_hits: int = 128
+    band: int = 256
+    min_anchors: int = 4
+    min_overlap: int = 500      # minimum overlap length
+    min_identity: float = 0.70
+    end_fuzz: int = 60          # tolerance for dovetail/containment calls
+    batch_pairs: int = 64
+
+
+class PreadOverlapper:
+    """Compute all proper overlaps among a batch of preads."""
+
+    def __init__(self, reads: SeqBatch, cfg: OverlapperConfig | None = None):
+        self.cfg = cfg or OverlapperConfig()
+        self.reads = reads
+        self.seqs = [reads.row(i) for i in range(len(reads))]
+        self.index = KmerIndex.build(self.seqs, k=self.cfg.k,
+                                     max_hits=self.cfg.max_hits)
+
+    def _candidates(self):
+        """Seed/chain candidate overlap placements (a_id < b_id only; the
+        symmetric record is derived, not recomputed)."""
+        cfg = self.cfg
+        cands = []  # (a, b, strand, diag)
+        for a in range(len(self.seqs)):
+            ra = self.seqs[a]
+            if len(ra) < cfg.k:
+                continue
+            for strand, q in ((0, ra), (1, revcomp(ra))):
+                q_pos, t_pos, t_ctg = self.index.query(q)
+                keep = t_ctg != a
+                q_pos, t_pos, t_ctg = q_pos[keep], t_pos[keep], t_ctg[keep]
+                # chain per target read
+                for b in np.unique(t_ctg):
+                    if (strand == 0 and b <= a):
+                        continue  # dedupe same-strand pairs
+                    if (strand == 1 and b < a):
+                        continue  # rc pairs computed once (a < b) + self-rc skip
+                    sel = t_ctg == b
+                    hits = chain_diag_bins(
+                        q_pos[sel], t_pos[sel],
+                        np.full(int(sel.sum()), int(b), np.int32),
+                        len(q), cfg.k,
+                        min_anchors=cfg.min_anchors, max_hits_per_read=1)
+                    for h in hits:
+                        # h.t_lo is the exact minimum anchor diagonal (NOT
+                        # the quantized bin start) — quantization here
+                        # shifts the DP window and corrupts overlap ends
+                        cands.append((a, int(b), strand, h.t_lo))
+        return cands
+
+    def compute(self) -> OverlapSet:
+        """Verify candidates with banded DP and emit overlap records.
+
+        For a candidate with diagonal D (approx b_pos - a_pos in match
+        orientation): the overlapping window is a[max(0,D'):...] vs
+        b[max(0,-D'):...] — we align the overhanging suffix of one onto
+        the other with a free-tail DP (qglocal) in both directions.
+        """
+        cfg = self.cfg
+        cands = self._candidates()
+        aligner = BandedAligner(W=cfg.band, mode="tglocal")
+        cols = {k: [] for k in ("a_id", "b_id", "strand", "a_start", "a_end",
+                                "b_start", "b_end", "a_len", "b_len", "dist")}
+        jobs = []
+        for (a, b, strand, diag) in cands:
+            ra = self.seqs[a]
+            rb = self.seqs[b] if strand == 0 else revcomp(self.seqs[b])
+            # diag ~ rb_pos - ra_pos: a[x] matches rb[x + diag]
+            a_lo = max(0, -diag)
+            b_lo = max(0, diag)
+            ov = min(len(ra) - a_lo, len(rb) - b_lo)
+            if ov < cfg.min_overlap:
+                continue
+            # align the overlapping slice of a (query) onto a padded window
+            # of rb (target) with free target start/end
+            pad = cfg.band // 4
+            q = ra[a_lo : a_lo + ov]
+            t_lo = max(0, b_lo - pad)
+            t_hi = min(len(rb), b_lo + ov + pad)
+            jobs.append((a, b, strand, a_lo, ov, t_lo, t_hi, q,
+                         rb[t_lo:t_hi]))
+
+        # bucketed batched DP
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for ji, j in enumerate(jobs):
+            bq = _bucket(len(j[7]))
+            bt = _bucket(len(j[8]))
+            buckets.setdefault((bq, bt), []).append(ji)
+        for (bq, bt), jidx in sorted(buckets.items()):
+            for s in range(0, len(jidx), cfg.batch_pairs):
+                chunk = jidx[s : s + cfg.batch_pairs]
+                P = len(chunk)
+                qa = np.full((P, bq), PAD, np.int8)
+                ta = np.full((P, bt), PAD, np.int8)
+                nn = np.zeros(P, np.int32)
+                mm = np.zeros(P, np.int32)
+                for pi, ji in enumerate(chunk):
+                    _, _, _, _, _, _, _, q, t = jobs[ji]
+                    qa[pi, : len(q)] = q
+                    ta[pi, : len(t)] = t
+                    nn[pi] = len(q)
+                    mm[pi] = len(t)
+                res = aligner(qa, ta, nn, mm, want_moves=True)
+                for pi, ji in enumerate(chunk):
+                    a, b, strand, a_lo, ov, t_lo, t_hi, q, t = jobs[ji]
+                    dist = int(res["dist"][pi])
+                    if dist >= (1 << 20):
+                        continue
+                    moves = res["moves"][pi]
+                    end_j = int(res["end_j"][pi])
+                    n_diag = int((moves == 0).sum())
+                    n_left = int((moves == 2).sum())
+                    start_j = end_j - (n_diag + n_left)
+                    # trim query insertions hanging off the target's ends
+                    # (the q window may overshoot the true overlap): leading
+                    # ups advance a_start, trailing ups retract a_end
+                    lead = 0
+                    while lead < len(moves) and moves[lead] == 1:
+                        lead += 1
+                    trail = 0
+                    while trail < len(moves) - lead and moves[-1 - trail] == 1:
+                        trail += 1
+                    a_s = a_lo + lead
+                    a_e = a_lo + ov - trail
+                    dist -= lead + trail
+                    span = a_e - a_s
+                    if span < cfg.min_overlap:
+                        continue
+                    if 1.0 - dist / max(span, 1) < cfg.min_identity:
+                        continue
+                    b_start = t_lo + start_j
+                    b_end = t_lo + end_j
+                    rb_len = len(self.seqs[b])
+                    cols["a_id"].append(a)
+                    cols["b_id"].append(b)
+                    cols["strand"].append(strand)
+                    cols["a_start"].append(a_s)
+                    cols["a_end"].append(a_e)
+                    cols["b_start"].append(b_start)
+                    cols["b_end"].append(b_end)
+                    cols["a_len"].append(len(self.seqs[a]))
+                    cols["b_len"].append(rb_len)
+                    cols["dist"].append(dist)
+
+        return OverlapSet(**{k: np.array(v, np.int32 if k != "strand"
+                                         else np.int8)
+                             for k, v in cols.items()})
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b

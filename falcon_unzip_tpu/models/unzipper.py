@@ -1,0 +1,369 @@
+"""Phase-aware overlap filtering + haplotig extraction ("the unzip").
+
+Role parity:
+- [U] falcon_unzip/mains/ovlp_filter_with_phase.py — drop overlaps that
+  join opposite phases of the same phase block (SURVEY.md §2a).
+- [U] falcon_unzip/mains/phased_ovlp_to_graph.py — phase-carrying string
+  graph (graph.string_graph here).
+- [U] falcon_unzip/mains/graphs_to_h_tigs_2.py + proto/* — walk the graph,
+  classify collapsed vs diverged (bubble) regions, emit primary contigs
+  and haplotigs with placements (SURVEY.md §3.3).
+
+Re-design: overlaps and phases are columnar arrays; the filter is a
+vectorized mask; the graph walk is host-side (tiny) and emits contig
+paths whose sequence stitching is plain array concatenation of extension
+slices.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..seq import SeqBatch, revcomp
+from ..graph.string_graph import (StringGraph, mirror, node, node_orient,
+                                  node_read)
+from .overlapper import OverlapSet
+
+
+# ---------------------------------------------------------------------------
+# Phase-aware overlap filter
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class OvlpFilterConfig:
+    min_overlap: int = 500
+    min_identity: float = 0.70
+    fuzz: int = 60
+
+
+def phase_filter_mask(ovl: OverlapSet, read_ctg: np.ndarray,
+                      read_block: np.ndarray, read_phase: np.ndarray,
+                      cfg: OvlpFilterConfig | None = None) -> np.ndarray:
+    """keep[o] mask: quality filters + phase-consistency.
+
+    read_ctg/read_block/read_phase: per-read arrays (-1 = unphased).
+    An overlap is dropped iff both reads are phased in the SAME contig and
+    block but with DIFFERENT phases — the core unzip constraint
+    ([U] ovlp_filter_with_phase behavior, SURVEY.md §3.1 step 3).
+    """
+    cfg = cfg or OvlpFilterConfig()
+    a, b = ovl.a_id, ovl.b_id
+    span = ovl.a_end - ovl.a_start
+    keep = (span >= cfg.min_overlap) & (ovl.identity() >= cfg.min_identity)
+    same_block = ((read_ctg[a] >= 0)
+                  & (read_ctg[a] == read_ctg[b])
+                  & (read_block[a] >= 0)
+                  & (read_block[a] == read_block[b]))
+    opposite = same_block & (read_phase[a] != read_phase[b]) \
+        & (read_phase[a] >= 0) & (read_phase[b] >= 0)
+    return keep & ~opposite
+
+
+# ---------------------------------------------------------------------------
+# Unzip: primary contigs + haplotigs from the phased graph
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class Haplotig:
+    name: str
+    seq: np.ndarray
+    primary: str
+    p_start: int          # placement on the primary contig
+    p_end: int
+    reads: list[int]
+    phase: int            # majority phase of the arm (-1 unknown)
+
+
+@dataclasses.dataclass
+class UnzipResult:
+    p_ctg: list[tuple[str, np.ndarray, list[int]]]   # (name, seq, read path)
+    h_ctg: list[Haplotig]
+
+
+def _majority(votes: list[int]) -> int:
+    if not votes:
+        return -1
+    return 1 if 2 * sum(votes) > len(votes) else 0
+
+
+@dataclasses.dataclass
+class UnzipConfig:
+    fuzz: int = 60
+    reduction_fuzz: int = 100
+    max_bubble_steps: int = 64
+
+
+class Unzipper:
+    """Graph walk emitting p_ctg/h_ctg (graphs_to_h_tigs_2 role)."""
+
+    def __init__(self, reads: SeqBatch, read_block: np.ndarray,
+                 read_phase: np.ndarray, read_ctg: np.ndarray | None = None,
+                 placements: tuple[np.ndarray, np.ndarray] | None = None,
+                 cfg: UnzipConfig | None = None):
+        """placements: optional per-read (t_start, t_end) on the draft
+        contig (from the read->draft aligner) used for haplotig placement
+        coordinates; read_ctg keys phase blocks per draft contig."""
+        self.reads = reads
+        self.read_block = read_block
+        self.read_phase = read_phase
+        self.read_ctg = (read_ctg if read_ctg is not None
+                         else np.zeros(len(read_block), np.int64))
+        self.placements = placements
+        self.cfg = cfg or UnzipConfig()
+
+    def _block_key(self, r: int):
+        b = int(self.read_block[r])
+        if b < 0:
+            return None
+        return (int(self.read_ctg[r]), b)
+
+    def _seq(self, n: int) -> np.ndarray:
+        r = self.reads.row(node_read(n))
+        return r if node_orient(n) == 0 else revcomp(r)
+
+    def _ext(self, g: StringGraph, u: int, v: int) -> np.ndarray:
+        e = g.edges[u][v]
+        return self._seq(v)[e.ext_start:]
+
+    def _arm_phase(self, nodes: list[int]) -> int:
+        votes = [int(self.read_phase[node_read(n)]) for n in nodes
+                 if self.read_phase[node_read(n)] >= 0]
+        if not votes:
+            return -1
+        c1 = sum(votes)
+        return 1 if 2 * c1 > len(votes) else 0
+
+    def _walk_simple(self, g: StringGraph, start: int, visited: set[int],
+                     max_steps: int) -> list[int]:
+        """Follow unique out-edges from start until junction/visited/end."""
+        path = [start]
+        while len(path) <= max_steps:
+            cur = path[-1]
+            outs = g.edges.get(cur, {})
+            if len(outs) != 1:
+                break
+            nxt = next(iter(outs))
+            if node_read(nxt) in visited:
+                break
+            path.append(nxt)
+        return path
+
+    def unzip(self, ovl: OverlapSet, keep_mask: np.ndarray) -> UnzipResult:
+        cfg = self.cfg
+        lens = self.reads.lengths
+        g = StringGraph.from_overlaps(ovl, lens, fuzz=cfg.fuzz,
+                                      keep_mask=keep_mask)
+        g.transitive_reduction(fuzz=cfg.reduction_fuzz)
+        g.remove_spurs()
+
+        visited: set[int] = set()   # read ids consumed by some contig
+        p_out: list[tuple[str, np.ndarray, list[int]]] = []
+        h_out: list[Haplotig] = []
+
+        while True:
+            start = self._pick_start(g, visited)
+            if start is None:
+                break
+            name = f"{len(p_out):06d}F"
+            seq_parts = [self._seq(start)]
+            path = [start]
+            visited.add(node_read(start))
+            pos = len(seq_parts[0])
+            cur = start
+
+            while True:
+                outs = {v: e for v, e in g.edges.get(cur, {}).items()
+                        if node_read(v) not in visited}
+                if not outs:
+                    break
+                if len(outs) == 1:
+                    nxt = next(iter(outs))
+                    seq_parts.append(self._ext(g, cur, nxt))
+                    pos += len(seq_parts[-1])
+                    path.append(nxt)
+                    visited.add(node_read(nxt))
+                    cur = nxt
+                    continue
+                # branch: try to resolve as a bubble
+                arms = []
+                for v in sorted(outs):
+                    arm = self._walk_simple(g, v, visited,
+                                            cfg.max_bubble_steps)
+                    arms.append(arm)
+                conv = self._convergence(g, arms)
+                if conv is None:
+                    # unresolvable branch: follow the arm with the longest
+                    # total extension; other arms are left for later walks
+                    best = max(
+                        range(len(arms)),
+                        key=lambda i: (sum(len(self._ext(g, *p)) for p in
+                                           zip([cur] + arms[i], arms[i])),
+                                       -i))
+                    nxt = arms[best][0]
+                    seq_parts.append(self._ext(g, cur, nxt))
+                    pos += len(seq_parts[-1])
+                    path.append(nxt)
+                    visited.add(node_read(nxt))
+                    cur = nxt
+                    continue
+                # bubble: arms re-converge at `conv`
+                arm_paths = [a[: a.index(conv)] if conv in a else a
+                             for a in arms]
+                phases = [self._arm_phase(a) for a in arm_paths]
+                # primary arm: majority phase 0 preferred, then longer arm
+                order = sorted(
+                    range(len(arm_paths)),
+                    key=lambda i: (0 if phases[i] == 0 else
+                                   (1 if phases[i] == -1 else 2),
+                                   -len(arm_paths[i])))
+                prim = order[0]
+                bubble_start = pos
+                # lay primary arm
+                pcur = cur
+                for nn in arm_paths[prim]:
+                    seq_parts.append(self._ext(g, pcur, nn))
+                    pos += len(seq_parts[-1])
+                    path.append(nn)
+                    visited.add(node_read(nn))
+                    pcur = nn
+                # alternative arms -> haplotigs
+                for ai in order[1:]:
+                    apath = arm_paths[ai]
+                    if not apath:
+                        continue
+                    parts = []
+                    acur = cur
+                    for nn in apath:
+                        parts.append(self._ext(g, acur, nn))
+                        visited.add(node_read(nn))
+                        acur = nn
+                    hseq = (np.concatenate(parts) if parts
+                            else np.zeros(0, np.int8))
+                    h_out.append(Haplotig(
+                        name=f"{name}_{len(h_out)+1:03d}",
+                        seq=hseq, primary=name,
+                        p_start=bubble_start, p_end=pos,
+                        reads=[node_read(nn) for nn in apath],
+                        phase=phases[ai]))
+                # continue from the convergence node
+                if node_read(conv) in visited:
+                    break
+                seq_parts.append(self._ext(g, pcur, conv))
+                pos += len(seq_parts[-1])
+                path.append(conv)
+                visited.add(node_read(conv))
+                cur = conv
+
+            p_out.append((name, np.concatenate(seq_parts),
+                          [node_read(n) for n in path]))
+
+        return self._classify(p_out, h_out)
+
+    def _classify(self, contigs, bubble_h) -> UnzipResult:
+        """Demote walks that re-assemble the opposite phase of an existing
+        primary's blocks into haplotigs (the 'associated contig' rule:
+        [U] graphs_to_h_tigs_2 emits such paths as h_ctg, and
+        [U] dedup_h_tigs drops duplicates — here the phase-block claim map
+        makes the duplication explicit without a re-alignment pass)."""
+        order = sorted(range(len(contigs)), key=lambda i: -len(contigs[i][1]))
+        claimed: dict[tuple[int, int], tuple[int, int]] = {}  # key->(phase,pi)
+        primaries: list[tuple[str, np.ndarray, list[int]]] = []
+        extra_h: list[Haplotig] = []
+        name_of: dict[int, str] = {}
+
+        for i in order:
+            _, seq, rds = contigs[i]
+            votes: dict[tuple[int, int], list[int]] = {}
+            for r in rds:
+                key = self._block_key(r)
+                p = int(self.read_phase[r])
+                if key is not None and p >= 0:
+                    votes.setdefault(key, []).append(p)
+            bp = {k: (1 if 2 * sum(v) > len(v) else 0)
+                  for k, v in votes.items()}
+            opp = [k for k, p in bp.items()
+                   if k in claimed and claimed[k][0] != p]
+            if bp and len(opp) >= 0.6 * len(bp):
+                owner = claimed[opp[0]][1]
+                pname = name_of[owner]
+                p_start, p_end = self._read_span(rds)
+                extra_h.append(Haplotig(
+                    name="", seq=seq, primary=pname,
+                    p_start=p_start, p_end=p_end, reads=rds,
+                    phase=_majority([p for ps in votes.values()
+                                     for p in ps])))
+            else:
+                pname = f"{len(primaries):06d}F"
+                name_of[i] = pname
+                primaries.append((pname, seq, rds))
+                for k, p in bp.items():
+                    claimed.setdefault(k, (p, i))
+
+        # bubble haplotigs keep their walk-time placement; renumber all
+        # haplotigs per primary in emission order
+        renamed: list[Haplotig] = []
+        counters: dict[str, int] = {}
+        old_to_new = {contigs[i][0]: nm for i, nm in name_of.items()}
+        for h in bubble_h:
+            pname = old_to_new.get(h.primary)
+            if pname is None:
+                continue  # parent walk was demoted; its bubbles are covered
+            counters[pname] = counters.get(pname, 0) + 1
+            renamed.append(dataclasses.replace(
+                h, name=f"{pname}_{counters[pname]:03d}", primary=pname))
+        for h in extra_h:
+            counters[h.primary] = counters.get(h.primary, 0) + 1
+            renamed.append(dataclasses.replace(
+                h, name=f"{h.primary}_{counters[h.primary]:03d}"))
+        return UnzipResult(p_ctg=primaries, h_ctg=renamed)
+
+    def _read_span(self, rds: list[int]) -> tuple[int, int]:
+        if self.placements is None:
+            return 0, 0
+        t_start, t_end = self.placements
+        ss = [int(t_start[r]) for r in rds if t_start[r] >= 0]
+        ee = [int(t_end[r]) for r in rds if t_end[r] >= 0]
+        if not ss:
+            return 0, 0
+        return min(ss), max(ee)
+
+    def _convergence(self, g: StringGraph, arms: list[list[int]]):
+        """First node shared by all arms (or reachable 1 step past an arm
+        end), else None."""
+        sets = []
+        for a in arms:
+            s = set(a)
+            # also allow convergence at the node right after the arm
+            tail = a[-1]
+            for v in g.edges.get(tail, {}):
+                s.add(v)
+            sets.append(s)
+        common = set.intersection(*sets) if sets else set()
+        if not common:
+            return None
+        # earliest common node along the first arm's order
+        probe = arms[0] + [v for v in g.edges.get(arms[0][-1], {})]
+        for n in probe:
+            if n in common:
+                return n
+        return None
+
+    def _pick_start(self, g: StringGraph, visited: set[int]):
+        """Deterministic start: unvisited source node (in-degree 0) with the
+        longest read; fall back to any unvisited node with out-edges."""
+        best = None
+        best_key = None
+        for u in g.active_nodes():
+            r = node_read(u)
+            if r in visited or g.contained[r]:
+                continue
+            if not g.edges.get(u):
+                continue
+            indeg = sum(1 for p in g.in_nodes.get(u, ())
+                        if node_read(p) not in visited)
+            key = (0 if indeg == 0 else 1, -int(self.reads.lengths[r]), u)
+            if best_key is None or key < best_key:
+                best_key = key
+                best = u
+        return best

@@ -32,16 +32,23 @@ def make_diploid(
     length: int = 20000,
     het_rate: float = 0.01,
     seed: int = 0,
+    het_span: tuple[float, float] | None = None,
 ) -> Diploid:
-    """Haplotype pair differing by SNPs at ~het_rate density."""
+    """Haplotype pair differing by SNPs at ~het_rate density.
+
+    het_span: optional (lo_frac, hi_frac) restricting SNPs to a sub-region
+    (models a diverged bubble flanked by collapsed homozygous sequence).
+    """
     rng = np.random.default_rng(seed)
     hap0 = random_genome(length, seed)
-    n_snp = int(length * het_rate) if het_rate > 0 else 0
+    lo, hi = (0, length) if het_span is None else (
+        int(length * het_span[0]), int(length * het_span[1]))
+    n_snp = int((hi - lo) * het_rate) if het_rate > 0 else 0
     if n_snp == 0:
         return Diploid(hap0=hap0, hap1=hap0.copy(),
                        snp_pos=np.zeros(0, np.int64),
                        snp_alt=np.zeros(0, np.int8))
-    pos = np.sort(rng.choice(length, size=n_snp, replace=False))
+    pos = lo + np.sort(rng.choice(hi - lo, size=n_snp, replace=False))
     alt = (hap0[pos] + rng.integers(1, NBASE, size=n_snp)) % NBASE
     hap1 = hap0.copy()
     hap1[pos] = alt
