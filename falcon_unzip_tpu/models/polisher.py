@@ -1,0 +1,244 @@
+"""Arrow-style windowed polishing stage (the 4-polish / quiver role).
+
+Role parity: [U] tasks/quiver.py pipeline — blasr mapping, then
+`variantCaller --algorithm=arrow` windowed consensus per contig, merged
+into cns FASTA/FASTQ (SURVEY.md §3.4).
+
+Re-design: reads are already aligned by models.aligner (no BAM round
+trip); per window the stage (1) tallies align-tag votes (falcon_sense
+consensus, device-shaped arrays), (2) refines remaining low-margin
+columns by Arrow mutation testing — scoring (variant x read) pairs in ONE
+batched banded pair-HMM device call — and (3) stitches window consensus
+via exact k-mer splice in the overlap.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..seq import PAD, SeqBatch
+from ..oracle.consensus import consensus_from_votes, vote_matrix
+from ..oracle.hmm import HMMParams, mutations_of
+from ..ops.pairhmm import PairHMMScorer
+from .aligner import AlnSet
+
+
+def _round128(x: int) -> int:
+    return max(128, -(-x // 128) * 128)
+
+
+@dataclasses.dataclass
+class PolisherConfig:
+    window: int = 384            # window length on the template
+    overlap: int = 64            # window overlap for stitching
+    splice_k: int = 21           # k-mer for overlap splicing
+    min_cov: int = 3             # below this, keep template bases
+    arrow_rounds: int = 1        # mutation-testing rounds (0 = vote only)
+    arrow_candidates: int = 4    # max low-margin columns tested per round
+    margin_frac: float = 0.7     # vote winner fraction below which to test
+    hmm_band: int = 48
+    params: HMMParams = dataclasses.field(default_factory=HMMParams)
+
+
+@dataclasses.dataclass
+class PolishedContig:
+    name: str
+    seq: np.ndarray
+    qv: np.ndarray               # per-base phred-like int8
+
+
+def window_read_segments(aln: AlnSet, rec_idx: np.ndarray, lo: int, hi: int,
+                         full_span_only: bool = False):
+    """Extract per-read base segments covering template window [lo, hi).
+
+    Returns list of (local_rec, segment int8 array, covers_full bool).
+    """
+    out = []
+    for local, a in enumerate(rec_idx):
+        tags = aln.tags[a]
+        if tags is None or len(tags) == 0:
+            continue
+        sel = (tags[:, 0] >= lo) & (tags[:, 0] < hi) & (tags[:, 2] < 4)
+        if not sel.any():
+            continue
+        seg = tags[sel, 2].astype(np.int8)
+        tmin = int(tags[sel, 0].min())
+        tmax = int(tags[sel, 0].max())
+        covers = (tmin <= lo + 2) and (tmax >= hi - 3)
+        if full_span_only and not covers:
+            continue
+        out.append((local, seg, covers))
+    return out
+
+
+def window_votes(aln: AlnSet, rec_idx: np.ndarray, lo: int, hi: int):
+    """Vote tensor for template window [lo, hi) from align tags."""
+    tags_list = []
+    for a in rec_idx:
+        tags = aln.tags[a]
+        if tags is None or len(tags) == 0:
+            continue
+        sel = (tags[:, 0] >= lo) & (tags[:, 0] < hi)
+        if sel.any():
+            t = tags[sel].copy()
+            t[:, 0] -= lo
+            tags_list.append(t)
+    return vote_matrix(tags_list, hi - lo)
+
+
+class Polisher:
+    def __init__(self, cfg: PolisherConfig | None = None):
+        self.cfg = cfg or PolisherConfig()
+        self._scorer = PairHMMScorer(W=self.cfg.hmm_band,
+                                     params=self.cfg.params)
+
+    # -- window consensus --------------------------------------------------
+
+    def _vote_consensus(self, votes, template_win):
+        cns, cov = consensus_from_votes(votes, template_win,
+                                        min_cov=self.cfg.min_cov)
+        return cns, cov
+
+    def _arrow_refine(self, cns: np.ndarray, votes: np.ndarray,
+                      segments: list[np.ndarray]) -> np.ndarray:
+        """Greedy mutation testing against read segments (batched HMM)."""
+        cfg = self.cfg
+        if not segments or cfg.arrow_rounds == 0 or len(cns) == 0:
+            return cns
+        for _ in range(cfg.arrow_rounds):
+            cand = self._candidates(cns, votes)
+            if not cand:
+                break
+            variants = [("keep", cns)]
+            for p in cand:
+                variants.extend(mutations_of(cns, p))
+            lls = self._score_variants([v for _, v in variants], segments)
+            best = int(np.argmax(lls))
+            if best == 0:
+                break
+            cns = variants[best][1]
+        return cns
+
+    def _candidates(self, cns: np.ndarray, votes: np.ndarray) -> list[int]:
+        """Low-margin consensus columns (approx mapping votes->cns coords).
+
+        Votes are in template coordinates; after vote consensus the
+        sequence may have shifted by indels, so candidates are located by
+        the consensus coordinate estimate (cumulative emitted length).
+        For round-1 simplicity we use template coords clipped to cns."""
+        cfg = self.cfg
+        d0 = votes[:, 0, :]
+        tot = d0.sum(axis=1)
+        win = d0.max(axis=1)
+        low = (tot >= cfg.min_cov) & (win < cfg.margin_frac * tot)
+        pos = np.nonzero(low)[0]
+        pos = pos[pos < len(cns)]
+        order = np.argsort((win / np.maximum(tot, 1))[pos], kind="stable")
+        return [int(p) for p in pos[order][: cfg.arrow_candidates]]
+
+    def _score_variants(self, variants: list[np.ndarray],
+                        segments: list[np.ndarray]) -> np.ndarray:
+        """Total read log-likelihood per variant, one batched device call."""
+        qs, ts, vid = [], [], []
+        for vi, v in enumerate(variants):
+            for seg in segments:
+                qs.append(seg)
+                ts.append(v)
+                vid.append(vi)
+        if not qs:
+            return np.zeros(len(variants), np.float32)
+        Lq = _round128(max(len(q) for q in qs))
+        Lt = _round128(max(len(t) for t in ts))
+        P = len(qs)
+        qa = np.full((P, Lq), PAD, np.int8)
+        ta = np.full((P, Lt), PAD, np.int8)
+        nn = np.zeros(P, np.int32)
+        mm = np.zeros(P, np.int32)
+        for i, (q, t) in enumerate(zip(qs, ts)):
+            qa[i, : len(q)] = q
+            ta[i, : len(t)] = t
+            nn[i] = len(q)
+            mm[i] = len(t)
+        ll = self._scorer(qa, ta, nn, mm)
+        vid = np.array(vid)
+        out = np.zeros(len(variants), np.float32)
+        np.add.at(out, vid, ll)
+        return out
+
+    # -- contig polish -----------------------------------------------------
+
+    def polish_contig(self, name: str, template: np.ndarray, aln: AlnSet,
+                      ctg_id: int) -> PolishedContig:
+        cfg = self.cfg
+        rec_idx = np.nonzero(aln.ctg == ctg_id)[0]
+        t_len = len(template)
+        step = cfg.window - cfg.overlap
+        pieces: list[np.ndarray] = []
+        qvs: list[np.ndarray] = []
+        lo = 0
+        while lo < t_len:
+            hi = min(t_len, lo + cfg.window)
+            votes = window_votes(aln, rec_idx, lo, hi)
+            cns, cov = self._vote_consensus(votes, template[lo:hi])
+            segs = [s for _, s, covers in
+                    window_read_segments(aln, rec_idx, lo, hi,
+                                         full_span_only=True)]
+            if cfg.arrow_rounds > 0 and len(segs) >= cfg.min_cov:
+                cns = self._arrow_refine(cns, votes, segs)
+            pieces.append(cns)
+            qvs.append(_qv_from_votes(votes, cns))
+            if hi >= t_len:
+                break
+            lo += step
+        seq, qv = _stitch(pieces, qvs, cfg.overlap, cfg.splice_k)
+        return PolishedContig(name=name, seq=seq, qv=qv)
+
+    def polish_all(self, contigs: list[tuple[str, np.ndarray]],
+                   aln: AlnSet) -> list[PolishedContig]:
+        return [self.polish_contig(nm, seq, aln, ci)
+                for ci, (nm, seq) in enumerate(contigs)]
+
+
+def _qv_from_votes(votes: np.ndarray, cns: np.ndarray) -> np.ndarray:
+    """Per-base phred-ish quality: agreement fraction of delta-0 votes,
+    truncated to the emitted length (coordinate shifts from indels are
+    second-order for QV reporting)."""
+    d0 = votes[:, 0, :]
+    tot = d0.sum(axis=1)
+    win = d0.max(axis=1)
+    frac = np.where(tot > 0, win / np.maximum(tot, 1), 0.0)
+    q = np.clip((-10.0 * np.log10(np.maximum(1.0 - frac, 1e-5))), 2, 50)
+    q = q.astype(np.int8)
+    if len(q) >= len(cns):
+        return q[: len(cns)]
+    return np.pad(q, (0, len(cns) - len(q)), constant_values=20)
+
+
+def _stitch(pieces, qvs, overlap: int, k: int):
+    """Splice adjacent window consensi at a shared k-mer in the overlap."""
+    if not pieces:
+        return np.zeros(0, np.int8), np.zeros(0, np.int8)
+    seq = pieces[0]
+    qv = qvs[0]
+    for nxt, nqv in zip(pieces[1:], qvs[1:]):
+        tail = seq[-(overlap + k):].tobytes()
+        spliced = False
+        head_len = min(len(nxt), overlap + k)
+        head = nxt[:head_len].tobytes()
+        for s in range(0, max(1, head_len - k)):
+            kmer = head[s : s + k]
+            if len(kmer) < k:
+                break
+            p = tail.find(kmer)
+            if p >= 0:
+                tail_start = len(seq) - min(len(seq), overlap + k)
+                cut_seq = tail_start + p
+                seq = np.concatenate([seq[:cut_seq], nxt[s:]])
+                qv = np.concatenate([qv[:cut_seq], nqv[s:]])
+                spliced = True
+                break
+        if not spliced:
+            seq = np.concatenate([seq, nxt[overlap:]])
+            qv = np.concatenate([qv, nqv[overlap:]])
+    return seq, qv
