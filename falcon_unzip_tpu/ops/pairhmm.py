@@ -40,11 +40,10 @@ def _shift_sel(V, s, base_k, fill):
     return jnp.where(s == 0, a, b)
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("W", "Lt", "G"))
-def pairhmm_forward_batch(qg, trg, n, m, lo_arr, params_vec,
-                          *, W: int, Lt: int, G: int):
-    """Banded forward log-likelihood for P pairs.
+def forward_core(qg, trg, n, m, lo_arr, params_vec,
+                 *, W: int, Lt: int, G: int):
+    """Banded forward log-likelihood for P pairs (trace-level core; jit or
+    shard_map it from the callers).
 
     params_vec: (10,) float32 — em_match, em_mis, em_ins, tMM, tMI, tMD,
                 tIM, tII, tDM, tDD (order fixed; see HMMParams.logs()).
@@ -108,11 +107,20 @@ def pairhmm_forward_batch(qg, trg, n, m, lo_arr, params_vec,
 
         return (M, I, D, M1, I1, D1, final), None
 
-    Z = jnp.full((P, W), NEG, jnp.float32)
-    init = (Z, Z, Z, Z, Z, Z, jnp.full((P,), NEG, jnp.float32))
+    # derive the scan carry init from the inputs so its sharding/varying
+    # type matches under shard_map (a literal-constant init is typed
+    # "replicated" and fails the new vma carry check)
+    zrow = 0.0 * qg[:, :1].astype(jnp.float32)          # (P, 1), varying
+    Z = jnp.full((P, W), NEG, jnp.float32) + zrow
+    init = (Z, Z, Z, Z, Z, Z,
+            jnp.full((P,), NEG, jnp.float32) + zrow[:, 0])
     (M1, I1, D1, M2, I2, D2, final), _ = jax.lax.scan(
         step, init, jnp.arange(Dmax, dtype=jnp.int32))
     return final
+
+
+pairhmm_forward_batch = jax.jit(forward_core,
+                                static_argnames=("W", "Lt", "G"))
 
 
 def params_vector(params: HMMParams | None = None) -> np.ndarray:
