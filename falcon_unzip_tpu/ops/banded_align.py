@@ -50,7 +50,7 @@ def prepare_batch(q: np.ndarray, t: np.ndarray, W: int):
     """
     P, Lq = q.shape
     _, Lt = t.shape
-    LQG = _round128((Lq + Lt + 1) // 2 + W // 2 + 2)
+    LQG = _round128(max((Lq + Lt + 1) // 2 + W // 2 + 2, Lq + 2))
     qg = np.full((P, LQG), PAD, dtype=np.int8)
     qg[:, 1 : Lq + 1] = q
     G = W + max(0, (Lq - Lt + 1) // 2) + 2

@@ -1,0 +1,117 @@
+"""4-polish pipeline driver (the fc_quiver.py role).
+
+Role parity: [U] tasks/quiver.py DAG — rr_hctg_track read tracking, BAM
+partition by contig, per-contig blasr + Arrow, cns merge (SURVEY.md
+§3.4).  Re-design: raw reads are aligned in-process to the combined
+p_ctg + h_ctg reference, partitioned by columnar masks (no BAM shuffle),
+and each contig is polished with the windowed vote + pair-HMM stage.
+
+Outputs (under <out>/4-polish/):
+  cns_p_ctg.fasta / cns_p_ctg.fastq
+  cns_h_ctg.fasta / cns_h_ctg.fastq
+  read_to_contig_map.msgpack
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from ..config import PipelineConfig
+from ..io.fasta import read_fasta, write_fasta, write_fastq
+from ..io.serialize import serialize
+from ..models.aligner import AlignerConfig, ReadToContigAligner
+from ..models.polisher import Polisher, PolisherConfig
+from ..parallel.checkpoint import Stage
+from ..seq import decode
+from ..utils.metrics import MetricsLog, assembly_stats
+
+logger = logging.getLogger(__name__)
+
+
+def run_quiver(cfg: PipelineConfig) -> dict:
+    unzip_dir = os.path.join(cfg.out_dir, "3-unzip")
+    out = os.path.join(cfg.out_dir, "4-polish")
+    os.makedirs(out, exist_ok=True)
+    metrics = MetricsLog(os.path.join(cfg.out_dir, "metrics.jsonl"))
+
+    p_path = os.path.join(unzip_dir, "all_p_ctg.fa")
+    h_path = os.path.join(unzip_dir, "all_h_ctg.fa")
+    if not os.path.exists(p_path):
+        raise FileNotFoundError(f"run the unzip stage first: {p_path}")
+    p_batch = read_fasta(p_path)
+    h_batch = read_fasta(h_path) if os.path.exists(h_path) else None
+
+    names = list(p_batch.names or [])
+    contigs = [p_batch.row(i) for i in range(len(p_batch))]
+    n_primary = len(contigs)
+    if h_batch is not None and len(h_batch):
+        names += list(h_batch.names or [])
+        contigs += [h_batch.row(i) for i in range(len(h_batch))]
+
+    reads_path = cfg.reads or cfg.preads
+    reads = read_fasta(reads_path) if not _is_fastq(reads_path) else \
+        _read_fastq_batch(reads_path)
+    logger.info("polish: %d reads vs %d contigs", len(reads), len(contigs))
+
+    # ---- stage 1: track reads -> combined reference (rr_hctg_track role)
+    track_stage = Stage(out, "1-track", inputs=[reads_path, p_path, h_path],
+                        outputs=["read_to_contig_map.msgpack"],
+                        resume=cfg.resume)
+    aligner = ReadToContigAligner(contigs, AlignerConfig(
+        k=cfg.align.k, band=cfg.align.band,
+        window_pad=cfg.align.window_pad,
+        min_identity=cfg.align.min_identity,
+        batch_pairs=cfg.align.batch_pairs))
+    aln = aligner.align_batch(reads)
+
+    def _track(st: Stage):
+        r2c = {int(aln.read_id[a]): int(aln.ctg[a]) for a in range(len(aln))}
+        serialize(st.out("read_to_contig_map.msgpack"), r2c)
+        return {"n_aligned": len(aln)}
+
+    track_stage.run(_track)
+
+    # ---- stage 2: per-contig windowed polish (variantCaller/arrow role)
+    polisher = Polisher(PolisherConfig(
+        window=cfg.polish.window, overlap=cfg.polish.overlap,
+        min_cov=cfg.polish.min_cov, arrow_rounds=cfg.polish.arrow_rounds,
+        hmm_band=cfg.polish.hmm_band))
+    polished = polisher.polish_all(list(zip(names, contigs)), aln)
+
+    # ---- gather
+    p_out = [c for i, c in enumerate(polished) if i < n_primary]
+    h_out = [c for i, c in enumerate(polished) if i >= n_primary]
+    _emit(out, "cns_p_ctg", p_out)
+    _emit(out, "cns_h_ctg", h_out)
+    stats = {
+        "p": assembly_stats([c.seq for c in p_out]),
+        "h": assembly_stats([c.seq for c in h_out]),
+        "mean_qv": round(float(np.mean([c.qv.mean() for c in polished
+                                        if len(c.qv)])), 2)
+        if polished else 0.0,
+    }
+    metrics.log("polish", **stats)
+    logger.info("polish done: %s", stats)
+    return {**stats, "out_dir": out}
+
+
+def _emit(out_dir: str, stem: str, contigs) -> None:
+    write_fasta(os.path.join(out_dir, f"{stem}.fasta"),
+                ((c.name, decode(c.seq)) for c in contigs))
+    write_fastq(os.path.join(out_dir, f"{stem}.fastq"),
+                ((c.name, decode(c.seq),
+                  "".join(chr(33 + int(q)) for q in c.qv))
+                 for c in contigs))
+
+
+def _is_fastq(path: str) -> bool:
+    p = path.lower()
+    return p.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz"))
+
+
+def _read_fastq_batch(path: str):
+    from ..io.fasta import read_fastq
+    batch, _ = read_fastq(path)
+    return batch

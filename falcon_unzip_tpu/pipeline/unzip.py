@@ -1,0 +1,189 @@
+"""3-unzip pipeline driver (the fc_unzip.py role).
+
+Role parity: [U] falcon_unzip/unzip.py::run + tasks/unzip.py — the
+pypeFLOW DAG of track-reads → per-contig phasing → hasm (phase-filtered
+graph) → haplotig extraction → gather (SURVEY.md §3.1).  Re-design: the
+same stage boundaries and durable artifacts, but stages are in-process
+device programs (no bash scripts, no scheduler); resume = Stage markers
+(Makefile semantics parity, SURVEY.md §5).
+
+Outputs (under <out>/3-unzip/):
+  all_p_ctg.fa, all_h_ctg.fa         — primary contigs + haplotigs
+  all_h_ctg_ids                      — haplotig id list
+  all_phased_reads                   — per-read (ctg, block, phase)
+  h_ctg_placements.json              — haplotig placements on primaries
+  read_to_contig_map.msgpack         — read tracking (rr_hctg_track role)
+"""
+from __future__ import annotations
+
+import logging
+import os
+
+import numpy as np
+
+from ..config import PipelineConfig
+from ..io.fasta import read_fasta, write_fasta
+from ..io.serialize import serialize
+from ..models.aligner import AlignerConfig, ReadToContigAligner
+from ..models.overlapper import OverlapperConfig, PreadOverlapper
+from ..models.phaser import phase_contig_device, phased_reads_table
+from ..models.unzipper import (OvlpFilterConfig, UnzipConfig, Unzipper,
+                               phase_filter_mask)
+from ..oracle.phasing import PhasingConfig
+from ..parallel.checkpoint import Stage
+from ..seq import decode
+from ..utils.metrics import MetricsLog, assembly_stats, phase_block_stats
+
+logger = logging.getLogger(__name__)
+
+
+def run_unzip(cfg: PipelineConfig) -> dict:
+    cfg.validate()
+    out = os.path.join(cfg.out_dir, "3-unzip")
+    os.makedirs(out, exist_ok=True)
+    metrics = MetricsLog(os.path.join(cfg.out_dir, "metrics.jsonl"))
+
+    preads = read_fasta(cfg.preads)
+    logger.info("loaded %d preads", len(preads))
+
+    # ---- stage 0: draft contigs (given, or de novo from the pread graph)
+    draft_stage = Stage(out, "0-draft", inputs=[cfg.preads, cfg.draft],
+                        outputs=["draft_p_ctg.fa"], resume=cfg.resume)
+
+    overlaps_holder: dict = {}
+
+    def _compute_overlaps():
+        if "ovl" not in overlaps_holder:
+            ov_cfg = OverlapperConfig(
+                k=cfg.overlap.k, band=cfg.overlap.band,
+                min_overlap=cfg.overlap.min_overlap,
+                min_identity=cfg.overlap.min_identity,
+                end_fuzz=cfg.overlap.end_fuzz)
+            overlaps_holder["ovl"] = PreadOverlapper(preads, ov_cfg).compute()
+        return overlaps_holder["ovl"]
+
+    def _draft(st: Stage):
+        if cfg.draft:
+            batch = read_fasta(cfg.draft)
+            recs = [(batch.names[i], batch.to_str(i))
+                    for i in range(len(batch))]
+        else:
+            # de novo: unphased string-graph walk over pread overlaps
+            ovl = _compute_overlaps()
+            uz = Unzipper(preads,
+                          read_block=np.full(len(preads), -1, np.int64),
+                          read_phase=np.full(len(preads), -1, np.int8),
+                          cfg=UnzipConfig(fuzz=cfg.graph.fuzz,
+                                          reduction_fuzz=cfg.graph.reduction_fuzz))
+            keep = np.ones(len(ovl), bool)
+            res = uz.unzip(ovl, keep)
+            recs = [(nm, decode(sq)) for nm, sq, _ in res.p_ctg]
+        write_fasta(st.out("draft_p_ctg.fa"), recs)
+        return {"n_draft": len(recs)}
+
+    draft_stage.run(_draft)
+    draft = read_fasta(draft_stage.out("draft_p_ctg.fa"))
+    contigs = [draft.row(i) for i in range(len(draft))]
+
+    # ---- stage 1: track + align reads to draft (blasr/phasing prep role)
+    align_stage = Stage(out, "1-align",
+                        inputs=[cfg.preads, draft_stage.out("draft_p_ctg.fa")],
+                        outputs=["read_to_contig_map.msgpack"],
+                        resume=cfg.resume)
+    aligner = ReadToContigAligner(contigs, AlignerConfig(
+        k=cfg.align.k, band=cfg.align.band, window_pad=cfg.align.window_pad,
+        min_identity=cfg.align.min_identity,
+        batch_pairs=cfg.align.batch_pairs))
+    aln = aligner.align_batch(preads)
+
+    def _track(st: Stage):
+        r2c = {int(aln.read_id[a]): [int(aln.ctg[a]), int(aln.t_start[a]),
+                                     int(aln.t_end[a]), int(aln.strand[a])]
+               for a in range(len(aln))}
+        serialize(st.out("read_to_contig_map.msgpack"), r2c)
+        metrics.log("align", n_aligned=len(aln), n_reads=len(preads))
+        return {"n_aligned": len(aln)}
+
+    align_stage.run(_track)
+
+    # ---- stage 2: per-contig phasing (fc_phasing role)
+    n_reads = len(preads)
+    read_ctg = np.full(n_reads, -1, np.int64)
+    read_block = np.full(n_reads, -1, np.int64)
+    read_phase = np.full(n_reads, -1, np.int8)
+    ph_cfg = PhasingConfig(
+        min_depth=cfg.phase.min_depth,
+        min_allele_count=cfg.phase.min_allele_count,
+        allele_freq_min=cfg.phase.allele_freq_min,
+        biallelic_frac=cfg.phase.biallelic_frac,
+        max_span=cfg.phase.max_span, min_link=cfg.phase.min_link)
+    phase_rows = []
+    for ci in range(len(contigs)):
+        ph = phase_contig_device(aln, ci, len(contigs[ci]), ph_cfg)
+        # later contigs must not overwrite an earlier assignment (a read
+        # maps to one contig; keep the first)
+        fresh = read_ctg[ph.read_ids] < 0
+        read_ctg[ph.read_ids[fresh]] = ci
+        read_block[ph.read_ids[fresh]] = ph.r_block[fresh]
+        read_phase[ph.read_ids[fresh]] = ph.r_phase[fresh]
+        phase_rows.append(phased_reads_table(ph))
+        metrics.log("phasing", ctg=ci, n_het=len(ph.het_pos),
+                    **phase_block_stats(ph.block_id, ph.het_pos))
+    phased = np.concatenate(phase_rows) if phase_rows else np.zeros((0, 4))
+
+    phased_path = os.path.join(out, "all_phased_reads")
+    with open(phased_path, "w") as fh:
+        for rid, ctg, blk, phs in phased:
+            if blk >= 0:
+                fh.write(f"{int(ctg):06d}F {int(blk)} {int(phs)} "
+                         f"{_read_name(preads, int(rid))}\n")
+
+    # ---- stage 3: hasm — phase-filtered overlaps + graph + haplotigs
+    ovl = _compute_overlaps()
+    keep = phase_filter_mask(ovl, read_ctg, read_block, read_phase,
+                             OvlpFilterConfig(
+                                 min_overlap=cfg.overlap.min_overlap,
+                                 min_identity=cfg.overlap.min_identity,
+                                 fuzz=cfg.overlap.end_fuzz))
+    metrics.log("ovlp_filter", n_overlaps=len(ovl), n_kept=int(keep.sum()))
+
+    uz = Unzipper(preads, read_block, read_phase, read_ctg=read_ctg,
+                  placements=(_fill(aln, n_reads, "t_start"),
+                              _fill(aln, n_reads, "t_end")),
+                  cfg=UnzipConfig(fuzz=cfg.graph.fuzz,
+                                  reduction_fuzz=cfg.graph.reduction_fuzz,
+                                  max_bubble_steps=cfg.graph.max_bubble_steps))
+    res = uz.unzip(ovl, keep)
+
+    # ---- gather outputs
+    write_fasta(os.path.join(out, "all_p_ctg.fa"),
+                ((nm, decode(sq)) for nm, sq, _ in res.p_ctg))
+    write_fasta(os.path.join(out, "all_h_ctg.fa"),
+                ((h.name, decode(h.seq)) for h in res.h_ctg))
+    with open(os.path.join(out, "all_h_ctg_ids"), "w") as fh:
+        for h in res.h_ctg:
+            fh.write(h.name + "\n")
+    serialize(os.path.join(out, "h_ctg_placements.json"),
+              [{"h": h.name, "p": h.primary, "start": h.p_start,
+                "end": h.p_end, "phase": int(h.phase),
+                "n_reads": len(h.reads)} for h in res.h_ctg])
+
+    p_stats = assembly_stats([sq for _, sq, _ in res.p_ctg])
+    h_stats = assembly_stats([h.seq for h in res.h_ctg])
+    metrics.log("unzip", p=p_stats, h=h_stats)
+    logger.info("unzip done: %s primary, %s haplotigs", p_stats, h_stats)
+    return {"p_ctg": p_stats, "h_ctg": h_stats, "out_dir": out}
+
+
+def _read_name(batch, rid: int) -> str:
+    if batch.names:
+        return batch.names[rid]
+    return f"read/{rid}"
+
+
+def _fill(aln, n_reads: int, field: str) -> np.ndarray:
+    out = np.full(n_reads, -1, np.int64)
+    vals = getattr(aln, field)
+    for a in range(len(aln)):
+        out[int(aln.read_id[a])] = int(vals[a])
+    return out
