@@ -59,7 +59,15 @@ def iter_fastq(path: str) -> Iterator[tuple[str, bytes, bytes]]:
             yield hdr[1:].split()[0].decode("ascii"), seq, qual
 
 
-def read_fasta(path: str, align: int = 128) -> SeqBatch:
+def read_fasta(path: str, align: int = 128,
+               use_native: bool = True) -> SeqBatch:
+    if use_native and not str(path).endswith(".gz"):
+        try:
+            from . import native
+            if native.available():
+                return native.read_fasta_native(path, align=align)
+        except Exception:
+            pass  # fall through to the pure-Python reader
     names, seqs = [], []
     for name, s in iter_fasta(path):
         names.append(name)
