@@ -1,0 +1,105 @@
+"""falcon_sense-style batched consensus model (BASELINE config 1 gate).
+
+Role parity: [U] falcon-kit falcon.c::generate_consensus via
+fc_consensus.py — template + supporting reads -> consensus sequence by
+banded alignment + per-column tag voting (SURVEY.md §3.5).
+
+Re-design: supporting reads are placed on the template by the k-mer
+chainer, aligned as ONE bucketed device batch with the banded wavefront
+kernel, and the vote/emit step consumes the flat tag arrays.  Long
+templates are windowed (window + halo) so the DP shapes stay fixed.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..seq import PAD, SeqBatch
+from ..oracle.consensus import consensus_from_votes, vote_matrix
+from ..ops.banded_align import BandedAligner, moves_to_tags_vec
+from ..ops.kmer_index import KmerIndex, seed_read
+
+
+@dataclasses.dataclass
+class ConsensusConfig:
+    k: int = 13
+    band: int = 128
+    min_cov: int = 2
+    min_idt: float = 0.7
+    batch_pairs: int = 64
+    window_pad: int = 48
+
+
+class FalconSense:
+    """Batched template+reads consensus caller."""
+
+    def __init__(self, cfg: ConsensusConfig | None = None):
+        self.cfg = cfg or ConsensusConfig()
+        self._aligner = BandedAligner(W=self.cfg.band, mode="tglocal")
+
+    def __call__(self, template: np.ndarray,
+                 reads: list[np.ndarray]) -> np.ndarray:
+        cfg = self.cfg
+        template = np.asarray(template, dtype=np.int8)
+        index = KmerIndex.build([template], k=cfg.k)
+
+        jobs = []
+        for r in reads:
+            r = np.asarray(r, dtype=np.int8)
+            if len(r) < cfg.k:
+                continue
+            hits = seed_read(index, r, max_hits_per_read=1)
+            for h in hits[:1]:
+                if h.strand == 1:
+                    from ..seq import revcomp
+                    r = revcomp(r)
+                lo = max(0, h.t_lo - cfg.window_pad)
+                hi = min(len(template), h.t_hi + cfg.window_pad)
+                if hi - lo >= cfg.k:
+                    jobs.append((lo, hi, r))
+
+        tags_list = []
+        buckets: dict[tuple[int, int], list[int]] = {}
+        for ji, (lo, hi, r) in enumerate(jobs):
+            buckets.setdefault((_bucket(len(r)), _bucket(hi - lo)),
+                               []).append(ji)
+        for (bq, bt), jidx in sorted(buckets.items()):
+            for s in range(0, len(jidx), cfg.batch_pairs):
+                chunk = jidx[s : s + cfg.batch_pairs]
+                P = len(chunk)
+                qa = np.full((P, bq), PAD, np.int8)
+                ta = np.full((P, bt), PAD, np.int8)
+                nn = np.zeros(P, np.int32)
+                mm = np.zeros(P, np.int32)
+                for pi, ji in enumerate(chunk):
+                    lo, hi, r = jobs[ji]
+                    qa[pi, : len(r)] = r
+                    ta[pi, : hi - lo] = template[lo:hi]
+                    nn[pi] = len(r)
+                    mm[pi] = hi - lo
+                res = self._aligner(qa, ta, nn, mm, want_moves=True)
+                for pi, ji in enumerate(chunk):
+                    lo, hi, r = jobs[ji]
+                    moves = res["moves"][pi]
+                    dist = int(res["dist"][pi])
+                    end_j = int(res["end_j"][pi])
+                    nd = int((moves == 0).sum())
+                    nl = int((moves == 2).sum())
+                    start_j = end_j - (nd + nl)
+                    span = max(end_j - start_j, 1)
+                    if 1.0 - dist / span < cfg.min_idt:
+                        continue
+                    tags_list.append(moves_to_tags_vec(
+                        r, moves, t_offset=lo + start_j))
+
+        votes = vote_matrix(tags_list, len(template))
+        cns, _ = consensus_from_votes(votes, template, min_cov=cfg.min_cov)
+        return cns
+
+
+def _bucket(n: int, minimum: int = 256) -> int:
+    b = minimum
+    while b < n:
+        b *= 2
+    return b
