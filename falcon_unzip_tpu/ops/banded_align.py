@@ -233,12 +233,28 @@ def moves_to_tags_vec(q: np.ndarray, moves: np.ndarray,
     return tags
 
 
-class BandedAligner:
-    """High-level batched aligner over same-shape (bucketed) pair batches."""
+def _on_tpu() -> bool:
+    import jax
+    try:
+        return any("tpu" in str(d).lower() for d in jax.devices())
+    except Exception:
+        return False
 
-    def __init__(self, W: int = 128, mode: str = "global"):
+
+class BandedAligner:
+    """High-level batched aligner over same-shape (bucketed) pair batches.
+
+    On TPU (with a tile-aligned band) the DP runs in the Pallas
+    VMEM-resident kernel (ops.pallas_align, ~23x the XLA scan); elsewhere
+    it runs the lax.scan wavefront.  Both are conformance-equal to
+    oracle.align.banded_dp."""
+
+    def __init__(self, W: int = 128, mode: str = "global",
+                 use_pallas: bool | None = None):
         self.W = W
         self.mode = mode
+        self.use_pallas = (use_pallas if use_pallas is not None
+                           else (W % 128 == 0 and _on_tpu()))
 
     def __call__(self, q: np.ndarray, t: np.ndarray,
                  n: np.ndarray, m: np.ndarray, want_moves: bool = True):
@@ -246,12 +262,15 @@ class BandedAligner:
         numpy arrays: dist, end_i, end_j [, moves list of forward arrays]."""
         P, Lq = q.shape
         Lt = t.shape[1]
-        qg, trg, G = prepare_batch(q, t, self.W)
         Dmax, lo = build_schedule(Lq, Lt, self.W)
-        res = banded_align_batch(
-            jnp.asarray(qg), jnp.asarray(trg),
-            jnp.asarray(n), jnp.asarray(m), jnp.asarray(lo),
-            W=self.W, Lt=Lt, G=G, mode=self.mode, want_bp=want_moves)
+        if self.use_pallas:
+            res = self._pallas_call(q, t, n, m, Lq, Lt, Dmax)
+        else:
+            qg, trg, G = prepare_batch(q, t, self.W)
+            res = banded_align_batch(
+                jnp.asarray(qg), jnp.asarray(trg),
+                jnp.asarray(n), jnp.asarray(m), jnp.asarray(lo),
+                W=self.W, Lt=Lt, G=G, mode=self.mode, want_bp=want_moves)
         out = {k: np.asarray(v) for k, v in res.items() if k != "bp"}
         if want_moves:
             moves_rev = traceback_batch(
@@ -259,3 +278,31 @@ class BandedAligner:
                 res["end_i"], res["end_j"], max_steps=Lq + Lt)
             out["moves"] = moves_forward(np.asarray(moves_rev))
         return out
+
+    def _pallas_call(self, q, t, n, m, Lq, Lt, Dmax):
+        from .pallas_align import pallas_banded_align
+        P = q.shape[0]
+        PB = 128 if P >= 128 else -(-P // 8) * 8
+        pad = (-P) % PB
+        if pad:
+            q = np.concatenate([q, np.tile(q[-1:], (pad, 1))])
+            t = np.concatenate([t, np.tile(t[-1:], (pad, 1))])
+            n = np.concatenate([np.asarray(n), np.tile(np.asarray(n)[-1:],
+                                                       pad)])
+            m = np.concatenate([np.asarray(m), np.tile(np.asarray(m)[-1:],
+                                                       pad)])
+        qg, trg, G = prepare_batch(q, t, self.W)
+        qg = np.pad(qg, ((0, 0), (0, 256)),
+                    constant_values=PAD).astype(np.int32)
+        trg = np.pad(trg, ((0, 0), (0, 256)),
+                     constant_values=PAD).astype(np.int32)
+        n8 = np.tile(np.asarray(n, np.int32)[:, None], (1, 128))
+        m8 = np.tile(np.asarray(m, np.int32)[:, None], (1, 128))
+        res = pallas_banded_align(
+            jnp.asarray(qg), jnp.asarray(trg), jnp.asarray(n8),
+            jnp.asarray(m8), W=self.W, Lt=Lt, G=G, Dmax=Dmax, PB=PB,
+            mode=self.mode)
+        if pad:
+            res = {k: v[:P] if k != "bp" else v[:, :P] for k, v in
+                   res.items()}
+        return res
