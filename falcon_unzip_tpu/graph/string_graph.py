@@ -189,6 +189,33 @@ class StringGraph:
                 ns.add(node(r, 1))
         return sorted(ns)
 
+    # -- intermediate record emission (sg_edges_list parity) ---------------
+
+    def sg_edges_records(self, names: list[str] | None = None):
+        """Edge records in a falcon sg_edges_list-like shape:
+        (src, dst, ext_start, ext_len, ov_len, dist, flag) — flag 'G' for
+        kept graph edges ([U] fc_phased_ovlp_to_graph output parity)."""
+        def node_str(nd: int) -> str:
+            r = node_read(nd)
+            nm = names[r] if names else f"{r:09d}"
+            return f"{nm}:{'E' if node_orient(nd) == 0 else 'B'}"
+
+        out = []
+        for u in sorted(self.edges):
+            for v in sorted(self.edges[u]):
+                e = self.edges[u][v]
+                out.append((node_str(u), node_str(v), e.ext_start,
+                            self.ext_len(e), e.ov_len, e.dist, "G"))
+        return out
+
+    def write_sg_edges(self, path: str,
+                       names: list[str] | None = None) -> None:
+        import os
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as fh:
+            for rec in self.sg_edges_records(names):
+                fh.write(" ".join(str(x) for x in rec) + "\n")
+
     # -- unitigs -----------------------------------------------------------
 
     def unitigs(self) -> list[list[int]]:

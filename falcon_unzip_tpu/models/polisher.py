@@ -38,6 +38,7 @@ class PolisherConfig:
     arrow_candidates: int = 4    # max low-margin columns tested per round
     margin_frac: float = 0.7     # vote winner fraction below which to test
     hmm_band: int = 48
+    use_pallas: bool | None = None   # None = auto (TPU + aligned band)
     params: HMMParams = dataclasses.field(default_factory=HMMParams)
 
 
@@ -90,8 +91,17 @@ def window_votes(aln: AlnSet, rec_idx: np.ndarray, lo: int, hi: int):
 class Polisher:
     def __init__(self, cfg: PolisherConfig | None = None):
         self.cfg = cfg or PolisherConfig()
-        self._scorer = PairHMMScorer(W=self.cfg.hmm_band,
-                                     params=self.cfg.params)
+        from ..ops.banded_align import _on_tpu
+        use_pallas = self.cfg.use_pallas
+        if use_pallas is None:
+            use_pallas = _on_tpu()
+        if use_pallas:
+            from ..ops.pallas_pairhmm import PallasPairHMMScorer
+            W = max(128, -(-self.cfg.hmm_band // 128) * 128)
+            self._scorer = PallasPairHMMScorer(W=W, params=self.cfg.params)
+        else:
+            self._scorer = PairHMMScorer(W=self.cfg.hmm_band,
+                                         params=self.cfg.params)
 
     # -- window consensus --------------------------------------------------
 

@@ -79,6 +79,7 @@ class Haplotig:
 class UnzipResult:
     p_ctg: list[tuple[str, np.ndarray, list[int]]]   # (name, seq, read path)
     h_ctg: list[Haplotig]
+    graph: "StringGraph | None" = None   # reduced phased string graph
 
 
 def _majority(votes: list[int]) -> int:
@@ -258,7 +259,9 @@ class Unzipper:
             p_out.append((name, np.concatenate(seq_parts),
                           [node_read(n) for n in path]))
 
-        return self._classify(p_out, h_out)
+        result = self._classify(p_out, h_out)
+        result.graph = g
+        return result
 
     def _classify(self, contigs, bubble_h) -> UnzipResult:
         """Demote walks that re-assemble the opposite phase of an existing

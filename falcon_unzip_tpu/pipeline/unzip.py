@@ -155,6 +155,13 @@ def run_unzip(cfg: PipelineConfig) -> dict:
                                   max_bubble_steps=cfg.graph.max_bubble_steps))
     res = uz.unzip(ovl, keep)
 
+    # ---- graph + overlap intermediates (sg_edges_list / LA dump parity)
+    if res.graph is not None:
+        res.graph.write_sg_edges(os.path.join(out, "sg_edges_list"),
+                                 names=preads.names)
+    from ..io.overlaps import write_overlaps
+    write_overlaps(os.path.join(out, "preads.ovl"), ovl, names=preads.names)
+
     # ---- gather outputs
     write_fasta(os.path.join(out, "all_p_ctg.fa"),
                 ((nm, decode(sq)) for nm, sq, _ in res.p_ctg))
