@@ -189,8 +189,15 @@ def write_bam(path: str, bam: BamFile) -> None:
                 + qual.astype(np.uint8).tobytes())
         out.append(struct.pack("<i", len(body)))
         out.append(body)
+    payload = b"".join(out)
+    try:  # multithreaded C++ BGZF encoder when built (io.native)
+        from .native import available, bgzf_compress_native
+        blob = bgzf_compress_native(payload) if available() else \
+            bgzf_compress(payload)
+    except Exception:
+        blob = bgzf_compress(payload)
     with open(path, "wb") as fh:
-        fh.write(bgzf_compress(b"".join(out)))
+        fh.write(blob)
 
 
 def iter_bam(path: str) -> Iterator[BamRecord]:
