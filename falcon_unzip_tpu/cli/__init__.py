@@ -61,6 +61,31 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--unzip-dir", required=True)
     p.add_argument("--out", default="asm.gfa")
 
+    p = sub.add_parser(
+        "readmap", help="merge per-contig phased_reads -> rid_to_phase.all")
+    p.add_argument("inputs", nargs="+", help="per-contig phased_reads files")
+    p.add_argument("--out", default="rid_to_phase.all")
+
+    p = sub.add_parser(
+        "graph", help="phased overlaps -> string graph -> haplotigs")
+    p.add_argument("--preads", required=True)
+    p.add_argument("--phased-reads", required=True,
+                   help="all_phased_reads / rid_to_phase.all file")
+    p.add_argument("--overlaps", help="preads.ovl dump (default: recompute)")
+    p.add_argument("--out-dir", default=".")
+
+    p = sub.add_parser(
+        "select-reads", help="partition a BAM into per-contig BAMs")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--map", required=True,
+                   help="msgpack/json read->contig map (names or ids)")
+    p.add_argument("--reads", help="FASTA giving names for integer read ids")
+    p.add_argument("--out-pattern", default="ctg_{}.bam")
+
+    p = sub.add_parser("bam2m4", help="BAM alignments -> m4 placement lines")
+    p.add_argument("--bam", required=True)
+    p.add_argument("--out", default="aln.m4")
+
     sub.add_parser("bench", help="run the kernel micro-benchmark")
     return ap
 
@@ -88,6 +113,14 @@ def main(argv=None) -> int:
         _cmd_dedup(args)
     elif args.cmd == "gen-gfa":
         _cmd_gen_gfa(args)
+    elif args.cmd == "readmap":
+        _cmd_readmap(args)
+    elif args.cmd == "graph":
+        _cmd_graph(args)
+    elif args.cmd == "select-reads":
+        _cmd_select_reads(args)
+    elif args.cmd == "bam2m4":
+        _cmd_bam2m4(args)
     elif args.cmd == "bench":
         import subprocess
         import os
@@ -195,6 +228,103 @@ def _cmd_gen_gfa(args):
             reads=[], phase=info.get("phase", -1)))
     write_gfa(args.out, p_ctg, h_ctg)
     print(f"wrote {args.out}")
+
+
+def _cmd_readmap(args):
+    """fc_phasing_readmap role: merge per-contig phased_reads files."""
+    seen = set()
+    n = 0
+    with open(args.out, "w") as out:
+        for path in args.inputs:
+            with open(path) as fh:
+                for line in fh:
+                    if line.strip() and line not in seen:
+                        seen.add(line)
+                        out.write(line)
+                        n += 1
+    print(f"merged {n} phased-read rows from {len(args.inputs)} files "
+          f"-> {args.out}")
+
+
+def _parse_phased_reads(path, name_to_id, n):
+    import numpy as np
+    read_ctg = np.full(n, -1, np.int64)
+    read_block = np.full(n, -1, np.int64)
+    read_phase = np.full(n, -1, np.int8)
+    with open(path) as fh:
+        for line in fh:
+            ctg, blk, phs, name = line.split()
+            rid = name_to_id.get(name)
+            if rid is not None:
+                read_ctg[rid] = int(ctg.rstrip("F"), 10)
+                read_block[rid] = int(blk)
+                read_phase[rid] = int(phs)
+    return read_ctg, read_block, read_phase
+
+
+def _cmd_graph(args):
+    """fc_phased_ovlp_to_graph + fc_graphs_to_h_tigs_2 roles."""
+    import os
+    from ..io.fasta import read_fasta, write_fasta
+    from ..models.overlapper import PreadOverlapper
+    from ..models.unzipper import Unzipper, phase_filter_mask
+    from ..seq import decode
+    preads = read_fasta(args.preads)
+    name_to_id = {nm: i for i, nm in enumerate(preads.names or [])}
+    read_ctg, read_block, read_phase = _parse_phased_reads(
+        args.phased_reads, name_to_id, len(preads))
+    if args.overlaps:
+        from ..io.overlaps import read_overlaps
+        ovl = read_overlaps(args.overlaps, name_to_id=name_to_id)
+    else:
+        ovl = PreadOverlapper(preads).compute()
+    keep = phase_filter_mask(ovl, read_ctg, read_block, read_phase)
+    uz = Unzipper(preads, read_block, read_phase, read_ctg=read_ctg)
+    res = uz.unzip(ovl, keep)
+    os.makedirs(args.out_dir, exist_ok=True)
+    if res.graph is not None:
+        res.graph.write_sg_edges(os.path.join(args.out_dir, "sg_edges_list"),
+                                 names=preads.names)
+    write_fasta(os.path.join(args.out_dir, "all_p_ctg.fa"),
+                ((nm, decode(sq)) for nm, sq, _ in res.p_ctg))
+    write_fasta(os.path.join(args.out_dir, "all_h_ctg.fa"),
+                ((h.name, decode(h.seq)) for h in res.h_ctg))
+    print(f"{len(res.p_ctg)} primary + {len(res.h_ctg)} haplotigs "
+          f"-> {args.out_dir}")
+
+
+def _cmd_select_reads(args):
+    """fc_select_reads_from_bam role: BAM -> per-contig BAMs."""
+    from ..io.bamlite import select_reads_by_contig
+    from ..io.serialize import deserialize
+    raw = deserialize(args.map)
+    r2c = {}
+    names = None
+    if args.reads:
+        from ..io.fasta import read_fasta
+        names = read_fasta(args.reads).names
+    for k, v in raw.items():
+        ctg = int(v[0]) if isinstance(v, (list, tuple)) else int(v)
+        if isinstance(k, str) and not k.isdigit():
+            r2c[k] = ctg
+        elif names:
+            r2c[names[int(k)]] = ctg
+    n_ctg = max(r2c.values(), default=-1) + 1
+    outs = select_reads_by_contig(args.bam, r2c, args.out_pattern, n_ctg)
+    print(f"wrote {len(outs)} per-contig BAMs ({args.out_pattern})")
+
+
+def _cmd_bam2m4(args):
+    """proto/sam2m4 role: BAM -> m4 placement records."""
+    from ..coords import sam_to_m4, write_m4
+    from ..io import native
+    from ..io.bamlite import read_bam
+    bam = native.read_bam_native(args.bam).to_bamfile() \
+        if native.available() else read_bam(args.bam)
+    recs = [m for m in (sam_to_m4(r, bam.refs) for r in bam.records)
+            if m is not None]
+    write_m4(args.out, recs)
+    print(f"{len(recs)} m4 records -> {args.out}")
 
 
 if __name__ == "__main__":

@@ -40,3 +40,39 @@ def fc_dedup() -> int:
 
 def fc_gen_gfa() -> int:
     return _fwd("gen-gfa")
+
+
+def fc_phasing_readmap() -> int:
+    return _fwd("readmap")
+
+
+def fc_phased_ovlp_to_graph() -> int:
+    return _fwd("graph")
+
+
+def fc_graphs_to_h_tigs_2() -> int:
+    return _fwd("graph")
+
+
+def fc_rr_hctg_track() -> int:
+    return _fwd("track")
+
+
+def fc_rr_hctg_track2() -> int:
+    return _fwd("track")
+
+
+def fc_get_read2ctg() -> int:
+    return _fwd("track")
+
+
+def fc_get_read_hctg_map() -> int:
+    return _fwd("track")
+
+
+def fc_select_reads_from_bam() -> int:
+    return _fwd("select-reads")
+
+
+def fc_unzip_gen_gfa_v1() -> int:
+    return _fwd("gen-gfa")
