@@ -61,14 +61,23 @@ def flat_delta0_tags(aln: AlnSet, rec_idx: np.ndarray):
 
 
 def phase_contig_device(aln: AlnSet, ctg: int, t_len: int,
-                        cfg: PhasingConfig | None = None) -> ContigPhasing:
-    """Run the full phasing stage for one contig using device ops."""
+                        cfg: PhasingConfig | None = None,
+                        phase_ops=None) -> ContigPhasing:
+    """Run the full phasing stage for one contig using device ops.
+
+    phase_ops: optional parallel.sharding.ShardedPhaseOps — routes the
+    pileup + association through mesh-sharded collectives (bit-identical
+    integer semantics); None = single-device jit ops.
+    """
     cfg = cfg or PhasingConfig()
     rec_idx = np.nonzero(aln.ctg == ctg)[0]
     read_ids = aln.read_id[rec_idx]
     row, pos, base = flat_delta0_tags(aln, rec_idx)
 
-    counts = np.asarray(pileup_scatter(pos, base, t_len=t_len))
+    if phase_ops is not None:
+        counts = phase_ops.pileup(pos, base, t_len=t_len)
+    else:
+        counts = np.asarray(pileup_scatter(pos, base, t_len=t_len))
     het_pos, b1, b2 = call_het_sites_device(counts, cfg)
     S = len(het_pos)
     R = len(rec_idx)
@@ -89,7 +98,10 @@ def phase_contig_device(aln: AlnSet, ctg: int, t_len: int,
         b1.astype(np.int32), b2.astype(np.int32),
         n_reads=R, n_sites=S, t_len=t_len))
 
-    score, cov = association_band_device(M, max_span=cfg.max_span)
+    if phase_ops is not None:
+        score, cov = phase_ops.association(M, max_span=cfg.max_span)
+    else:
+        score, cov = association_band_device(M, max_span=cfg.max_span)
     block_id, orient = phase_blocks(np.asarray(score), np.asarray(cov), S, cfg)
 
     n_blocks = int(block_id.max()) + 1 if S else 0

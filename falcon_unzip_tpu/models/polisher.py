@@ -89,8 +89,14 @@ def window_votes(aln: AlnSet, rec_idx: np.ndarray, lo: int, hi: int):
 
 
 class Polisher:
-    def __init__(self, cfg: PolisherConfig | None = None):
+    def __init__(self, cfg: PolisherConfig | None = None, scorer=None):
+        """scorer: optional pair-HMM scorer override with the standard
+        (q, t, n, m) -> ll interface (e.g. parallel.sharding.
+        ShardedPairHMMScorer for mesh-sharded polish)."""
         self.cfg = cfg or PolisherConfig()
+        if scorer is not None:
+            self._scorer = scorer
+            return
         from ..ops.banded_align import _on_tpu
         use_pallas = self.cfg.use_pallas
         if use_pallas is None:

@@ -20,6 +20,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -117,3 +118,168 @@ def make_polish_step(mesh: Mesh, *, W: int, Lt: int, G: int):
         in_specs=(P(ALL, None), P(ALL, None), P(ALL), P(ALL), P(None), P(None)),
         out_specs=P(ALL))
     return jax.jit(sharded)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline-facing sharded executors (config-5: full pipeline over a mesh)
+# ---------------------------------------------------------------------------
+
+def _pad_to(x, mult, fill):
+    pad = (-len(x)) % mult
+    if pad == 0:
+        return x
+    return np.concatenate([x, np.full(pad, fill, x.dtype)])
+
+
+def _bucket(n: int, mult: int) -> int:
+    """Round n up to mult * next_pow2 so jit shape cache stays small."""
+    per = -(-max(n, 1) // mult)
+    p = 1
+    while p < per:
+        p <<= 1
+    return mult * p
+
+
+class ShardedPhaseOps:
+    """Mesh data-parallel pileup + allele-association with EXACT integer
+    semantics — results are bit-identical to the single-device ops
+    (scatter-adds and psum are integer, order-free).
+
+    This is what makes the 3-unzip stage a true multi-chip program: flat
+    read tags are split over every device, each shard scatter-adds its
+    pileup/association partials, and one psum over ('data','window')
+    merges them (the SURVEY.md §2c "collectives" row).
+    """
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self._pileup_cache: dict[int, object] = {}
+        self._assoc_cache: dict[int, object] = {}
+
+    def _pileup_fn(self, t_len: int):
+        if t_len not in self._pileup_cache:
+            @jax.jit
+            @functools.partial(
+                shard_map, mesh=self.mesh, in_specs=(P(ALL), P(ALL)),
+                out_specs=P())
+            def _pileup(pos, base):
+                ok = (pos >= 0) & (pos < t_len)
+                p = jnp.where(ok, pos, t_len)
+                counts = jnp.zeros((t_len + 1, 5), jnp.int32)
+                counts = counts.at[p, jnp.clip(base, 0, 4)].add(1)
+                return jax.lax.psum(counts[:t_len], ALL)
+
+            self._pileup_cache[t_len] = _pileup
+        return self._pileup_cache[t_len]
+
+    def _assoc_fn(self, max_span: int):
+        if max_span not in self._assoc_cache:
+            @jax.jit
+            @functools.partial(
+                shard_map, mesh=self.mesh, in_specs=(P(ALL, None),),
+                out_specs=(P(), P()))
+            def _assoc(M):
+                rows, n_sites = M.shape
+                Mi = M.astype(jnp.int32)
+                Mpad = jnp.pad(Mi, ((0, 0), (0, max_span + 1)))
+
+                def step(_, d):
+                    sh = jax.lax.dynamic_slice(Mpad, (0, d),
+                                               (rows, n_sites))
+                    prod = Mi * sh
+                    return None, (prod.sum(axis=0),
+                                  jnp.abs(prod).sum(axis=0))
+
+                _, (score, cov) = jax.lax.scan(
+                    step, None,
+                    jnp.arange(1, max_span + 1, dtype=jnp.int32))
+                return (jax.lax.psum(score.T.astype(jnp.int32), ALL),
+                        jax.lax.psum(cov.T.astype(jnp.int32), ALL))
+
+            self._assoc_cache[max_span] = _assoc
+        return self._assoc_cache[max_span]
+
+    def pileup(self, pos, base, *, t_len: int) -> np.ndarray:
+        pos = np.asarray(pos, np.int32)
+        base = np.asarray(base, np.int32)
+        B = _bucket(len(pos), self.n_dev)
+        return np.asarray(self._pileup_fn(t_len)(_pad_to(pos, B, -1),
+                                                 _pad_to(base, B, 0)))
+
+    def association(self, M, *, max_span: int):
+        M = np.asarray(M, np.int8)
+        B = _bucket(M.shape[0], self.n_dev)
+        pad = B - M.shape[0]
+        if pad:  # zero rows contribute nothing to score or cov
+            M = np.concatenate([M, np.zeros((pad, M.shape[1]), np.int8)])
+        score, cov = self._assoc_fn(max_span)(M)
+        return np.asarray(score), np.asarray(cov)
+
+
+class ShardedPairHMMScorer:
+    """Drop-in PairHMMScorer that splits scoring pairs across the mesh.
+
+    Same (q, t, n, m) -> ll interface as ops.pairhmm.PairHMMScorer /
+    ops.pallas_pairhmm.PallasPairHMMScorer; the pair axis is sharded over
+    ('data','window') and each device runs the banded forward on its
+    shard (the polish stage's multi-chip path, SURVEY.md §2c).
+    """
+
+    def __init__(self, mesh: Mesh, W: int = 64, params=None):
+        from ..ops.pairhmm import params_vector
+        self.mesh = mesh
+        self.W = W
+        self.pvec = params_vector(params)
+        self.n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self._jit_cache = {}
+
+    def _step(self, Lt: int, G: int):
+        key = (Lt, G)
+        if key not in self._jit_cache:
+            mesh, W = self.mesh, self.W
+
+            @jax.jit
+            @functools.partial(
+                shard_map, mesh=mesh,
+                in_specs=(P(ALL, None), P(ALL, None), P(ALL), P(ALL),
+                          P(None), P(None)),
+                out_specs=P(ALL))
+            def step(qg, trg, n, m, lo_arr, pvec):
+                return forward_core(qg, trg, n, m, lo_arr, pvec,
+                                    W=W, Lt=Lt, G=G)
+
+            self._jit_cache[key] = step
+        return self._jit_cache[key]
+
+    def __call__(self, q: np.ndarray, t: np.ndarray,
+                 n: np.ndarray, m: np.ndarray) -> np.ndarray:
+        from ..ops.pairhmm import build_schedule, prepare_batch
+        Pn, Lq = q.shape
+        Lt = t.shape[1]
+        B = _bucket(Pn, self.n_dev)
+        pad = B - Pn
+        if pad:  # repeat last pair; padded lanes are dropped after gather
+            q = np.concatenate([q, np.tile(q[-1:], (pad, 1))])
+            t = np.concatenate([t, np.tile(t[-1:], (pad, 1))])
+            n = np.concatenate([n, np.tile(n[-1:], pad)])
+            m = np.concatenate([m, np.tile(m[-1:], pad)])
+        qg, trg, G = prepare_batch(q, t, self.W)
+        Dmax, lo = build_schedule(Lq, Lt, self.W)
+        ll = self._step(Lt, G)(
+            jnp.asarray(qg), jnp.asarray(trg), jnp.asarray(n),
+            jnp.asarray(m), jnp.asarray(lo), jnp.asarray(self.pvec))
+        return np.asarray(ll)[:Pn]
+
+
+def make_pipeline_mesh(n_devices: int = 0, window_par: int = 0):
+    """Mesh for the pipeline drivers: None when only one device is visible
+    (single-chip path) or when n_devices == 1 (explicitly disabled)."""
+    if n_devices == 1:
+        return None
+    avail = len(jax.devices())
+    n = min(n_devices, avail) if n_devices else avail
+    if n < 2:
+        return None
+    from .mesh import make_mesh
+    return make_mesh(n, window_par or None)

@@ -74,10 +74,16 @@ def run_quiver(cfg: PipelineConfig) -> dict:
     track_stage.run(_track)
 
     # ---- stage 2: per-contig windowed polish (variantCaller/arrow role)
+    from ..parallel.sharding import ShardedPairHMMScorer, make_pipeline_mesh
+    mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par)
+    scorer = ShardedPairHMMScorer(mesh, W=cfg.polish.hmm_band) \
+        if mesh is not None else None
+    if mesh is not None:
+        logger.info("polish scoring over mesh %s", dict(mesh.shape))
     polisher = Polisher(PolisherConfig(
         window=cfg.polish.window, overlap=cfg.polish.overlap,
         min_cov=cfg.polish.min_cov, arrow_rounds=cfg.polish.arrow_rounds,
-        hmm_band=cfg.polish.hmm_band))
+        hmm_band=cfg.polish.hmm_band), scorer=scorer)
     polished = polisher.polish_all(list(zip(names, contigs)), aln)
 
     # ---- gather

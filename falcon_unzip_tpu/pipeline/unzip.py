@@ -117,9 +117,15 @@ def run_unzip(cfg: PipelineConfig) -> dict:
         allele_freq_min=cfg.phase.allele_freq_min,
         biallelic_frac=cfg.phase.biallelic_frac,
         max_span=cfg.phase.max_span, min_link=cfg.phase.min_link)
+    from ..parallel.sharding import ShardedPhaseOps, make_pipeline_mesh
+    mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par)
+    phase_ops = ShardedPhaseOps(mesh) if mesh is not None else None
+    if mesh is not None:
+        logger.info("phasing over mesh %s", dict(mesh.shape))
     phase_rows = []
     for ci in range(len(contigs)):
-        ph = phase_contig_device(aln, ci, len(contigs[ci]), ph_cfg)
+        ph = phase_contig_device(aln, ci, len(contigs[ci]), ph_cfg,
+                                 phase_ops=phase_ops)
         # later contigs must not overwrite an earlier assignment (a read
         # maps to one contig; keep the first)
         fresh = read_ctg[ph.read_ids] < 0
