@@ -51,8 +51,8 @@ def run_quiver(cfg: PipelineConfig) -> dict:
         contigs += [h_batch.row(i) for i in range(len(h_batch))]
 
     reads_path = cfg.reads or cfg.preads
-    reads = read_fasta(reads_path) if not _is_fastq(reads_path) else \
-        _read_fastq_batch(reads_path)
+    from ..io.ingest import read_seqs
+    reads = read_seqs(reads_path)   # FASTA/FASTQ/BAM or .fofn of them
     logger.info("polish: %d reads vs %d contigs", len(reads), len(contigs))
 
     # ---- stage 1: track reads -> combined reference (rr_hctg_track role)
@@ -112,12 +112,3 @@ def _emit(out_dir: str, stem: str, contigs) -> None:
                  for c in contigs))
 
 
-def _is_fastq(path: str) -> bool:
-    p = path.lower()
-    return p.endswith((".fastq", ".fq", ".fastq.gz", ".fq.gz"))
-
-
-def _read_fastq_batch(path: str):
-    from ..io.fasta import read_fastq
-    batch, _ = read_fastq(path)
-    return batch
