@@ -39,7 +39,8 @@ def _lo(d, W):
 
 
 def _kernel(qg_ref, trg_ref, n_ref, m_ref, out_ref,
-            M1_ref, I1_ref, D1_ref, M2_ref, I2_ref, D2_ref, *,
+            MA_ref, IA_ref, DA_ref, MB_ref, IB_ref, DB_ref,
+            CI_ref, CD_ref, *,
             W: int, Lt: int, G: int, Dmax: int, params: dict):
     PB = qg_ref.shape[0]
     neg = jnp.float32(NEG)
@@ -61,8 +62,9 @@ def _kernel(qg_ref, trg_ref, n_ref, m_ref, out_ref,
     m = m_ref[:, :1]
 
     nf = jnp.full((PB, W), neg, jnp.float32)
-    M1_ref[:] = nf; I1_ref[:] = nf; D1_ref[:] = nf
-    M2_ref[:] = nf; I2_ref[:] = nf; D2_ref[:] = nf
+    MA_ref[:] = nf; IA_ref[:] = nf; DA_ref[:] = nf
+    MB_ref[:] = nf; IB_ref[:] = nf; DB_ref[:] = nf
+    CI_ref[:] = nf; CD_ref[:] = nf
     out_ref[:] = nf
 
     def shift_m1(V):
@@ -89,13 +91,20 @@ def _kernel(qg_ref, trg_ref, n_ref, m_ref, out_ref,
         rolled = pltpu.roll(win, (N - r) % N, axis=1)
         return rolled[:, :W]                 # out[w] = ref[start + w]
 
-    def step(d, _):
+    bankA = (MA_ref, IA_ref, DA_ref)
+    bankB = (MB_ref, IB_ref, DB_ref)
+
+    def sub(d, prev1, prev2, wr):
+        """One antidiagonal: prev1 holds d-1, prev2 holds d-2; the new
+        generation is written into wr (aliasing prev2 — its values are
+        dead once read).  The 2-step-unrolled ping-pong below swaps bank
+        roles instead of copying 6 planes per step."""
         lo = _lo(d, W)
         s1 = lo - _lo(d - 1, W)
         s2 = lo - _lo(d - 2, W)
 
-        M1 = M1_ref[:]; I1 = I1_ref[:]; D1 = D1_ref[:]
-        M2 = M2_ref[:]; I2 = I2_ref[:]; D2 = D2_ref[:]
+        M1 = prev1[0][:]; I1 = prev1[1][:]; D1 = prev1[2][:]
+        M2 = prev2[0][:]; I2 = prev2[1][:]; D2 = prev2[2][:]
 
         i = lo + w_iota
         j = d - i
@@ -123,17 +132,29 @@ def _kernel(qg_ref, trg_ref, n_ref, m_ref, out_ref,
         I = jnp.where(valid & (i >= 1), I, neg)
         D = jnp.where(valid & (j >= 1), D, neg)
 
-        # capture log-lik at the (n, m) corner cell
+        # capture the (n, m) corner M/I/D with cheap selects; their
+        # logaddexp combine runs ONCE after the loop, not per diagonal
         corner = valid & (i == n) & (j == m)
-        ll = jnp.logaddexp(jnp.logaddexp(M, I), D)
-        out_ref[:] = jnp.where(corner, ll, out_ref[:])
+        out_ref[:] = jnp.where(corner, M, out_ref[:])
+        CI_ref[:] = jnp.where(corner, I, CI_ref[:])
+        CD_ref[:] = jnp.where(corner, D, CD_ref[:])
 
-        # rotate banks: (d-1) -> (d-2), current -> (d-1)
-        M2_ref[:] = M1; I2_ref[:] = I1; D2_ref[:] = D1
-        M1_ref[:] = M; I1_ref[:] = I; D1_ref[:] = D
+        wr[0][:] = M; wr[1][:] = I; wr[2][:] = D
+
+    def dbl(k, _):
+        d = 2 * k
+        # entering d: prev1 = A (d-1), prev2 = B (d-2)
+        sub(d, bankA, bankB, bankB)          # B <- d
+        sub(d + 1, bankB, bankA, bankA)      # A <- d+1
         return 0
 
-    jax.lax.fori_loop(0, Dmax, step, 0)
+    jax.lax.fori_loop(0, Dmax // 2, dbl, 0)
+    if Dmax % 2:
+        sub(Dmax - 1, bankA, bankB, bankB)
+
+    # final corner combine: ll = logaddexp(M, I, D) at the captured cell
+    out_ref[:] = jnp.logaddexp(jnp.logaddexp(out_ref[:], CI_ref[:]),
+                               CD_ref[:])
 
 
 @functools.partial(jax.jit,
@@ -164,7 +185,7 @@ def _pallas_forward(qg, trg, n, m, *, W, Lt, G, Dmax, PB, params_key,
         out_specs=pl.BlockSpec((PB, W), lambda g: (g, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((P, W), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((PB, W), jnp.float32) for _ in range(6)],
+        scratch_shapes=[pltpu.VMEM((PB, W), jnp.float32) for _ in range(8)],
         cost_estimate=pl.CostEstimate(
             flops=int(Dmax) * P * W * 40,
             bytes_accessed=P * (LQG + LTG + W) * 4,
