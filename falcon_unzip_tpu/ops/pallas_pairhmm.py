@@ -94,14 +94,29 @@ def _kernel(qg_ref, trg_ref, n_ref, m_ref, out_ref,
     bankA = (MA_ref, IA_ref, DA_ref)
     bankB = (MB_ref, IB_ref, DB_ref)
 
-    def sub(d, prev1, prev2, wr):
+    def sub(d, prev1, prev2, wr, s_static=None):
         """One antidiagonal: prev1 holds d-1, prev2 holds d-2; the new
         generation is written into wr (aliasing prev2 — its values are
         dead once read).  The 2-step-unrolled ping-pong below swaps bank
-        roles instead of copying 6 planes per step."""
+        roles instead of copying 6 planes per step.
+
+        s_static: optional compile-time (s1, s2) band shifts.  For
+        d >= W+2 the slope-1/2 band advances deterministically
+        (s1 = d&1, s2 = 1), so the steady-state loop passes constants
+        and every sel() lowers to a bare roll or identity instead of a
+        traced scalar select."""
         lo = _lo(d, W)
-        s1 = lo - _lo(d - 1, W)
-        s2 = lo - _lo(d - 2, W)
+        if s_static is None:
+            s1 = lo - _lo(d - 1, W)
+            s2 = lo - _lo(d - 2, W)
+            pick = sel
+        else:
+            s1, s2 = s_static
+
+            def pick(V, s, base_k):
+                if base_k == -1:
+                    return shift_m1(V) if s == 0 else V
+                return V if s == 0 else shift_p1(V)
 
         M1 = prev1[0][:]; I1 = prev1[1][:]; D1 = prev1[2][:]
         M2 = prev2[0][:]; I2 = prev2[1][:]; D2 = prev2[2][:]
@@ -109,13 +124,13 @@ def _kernel(qg_ref, trg_ref, n_ref, m_ref, out_ref,
         i = lo + w_iota
         j = d - i
 
-        Md = sel(M2, s2, -1)
-        Id = sel(I2, s2, -1)
-        Dd = sel(D2, s2, -1)
-        Mu = sel(M1, s1, -1)
-        Iu = sel(I1, s1, -1)
-        Ml = sel(M1, s1, 0)
-        Dl = sel(D1, s1, 0)
+        Md = pick(M2, s2, -1)
+        Id = pick(I2, s2, -1)
+        Dd = pick(D2, s2, -1)
+        Mu = pick(M1, s1, -1)
+        Iu = pick(I1, s1, -1)
+        Ml = pick(M1, s1, 0)
+        Dl = pick(D1, s1, 0)
 
         qi = load_win(qg_ref, lo)
         tj = load_win(trg_ref, G + Lt - d + lo)
@@ -133,7 +148,9 @@ def _kernel(qg_ref, trg_ref, n_ref, m_ref, out_ref,
         D = jnp.where(valid & (j >= 1), D, neg)
 
         # capture the (n, m) corner M/I/D with cheap selects; their
-        # logaddexp combine runs ONCE after the loop, not per diagonal
+        # logaddexp combine runs ONCE after the loop, not per diagonal.
+        # (A pl.when guard on any(n+m == d) was tried and is SLOWER —
+        # the per-step reduction + branch beats the 3 plane stores.)
         corner = valid & (i == n) & (j == m)
         out_ref[:] = jnp.where(corner, M, out_ref[:])
         CI_ref[:] = jnp.where(corner, I, CI_ref[:])
@@ -148,7 +165,16 @@ def _kernel(qg_ref, trg_ref, n_ref, m_ref, out_ref,
         sub(d + 1, bankB, bankA, bankA)      # A <- d+1
         return 0
 
-    jax.lax.fori_loop(0, Dmax // 2, dbl, 0)
+    def dbl_steady(k, _):
+        d = 2 * k
+        sub(d, bankA, bankB, bankB, s_static=(0, 1))
+        sub(d + 1, bankB, bankA, bankA, s_static=(1, 1))
+        return 0
+
+    # prologue: band pinned at lo=0 (shifts vary); steady: constant shifts
+    split = min((W + 2) // 2, Dmax // 2)
+    jax.lax.fori_loop(0, split, dbl, 0)
+    jax.lax.fori_loop(split, Dmax // 2, dbl_steady, 0)
     if Dmax % 2:
         sub(Dmax - 1, bankA, bankB, bankB)
 
