@@ -10,9 +10,24 @@ interconnect constant changes).  Run with:
       python scripts/scaling_bench.py
 """
 import json
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# the sitecustomize pre-registers the remote TPU backend, so env vars are
+# too late — force the virtual CPU mesh through jax.config (conftest.py
+# does the same for the test suite)
+_flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 
 def measure(n_devices: int, R_per_dev: int = 512, T: int = 64,
