@@ -69,7 +69,7 @@ def _measure_pallas() -> float:
         def body(i, acc):
             qg2 = qg + (acc[0] * 0).astype(jnp.int32)
             ll = _pallas_forward(qg2, trg, n8, m8, W=W, Lt=WIN, G=G,
-                                 Dmax=Dmax, PB=128, params_key=pk)
+                                 Dmax=Dmax, PB=256, params_key=pk)
             return acc + ll
         return jnp.sum(jax.lax.fori_loop(0, K, body,
                                          jnp.zeros((P,), jnp.float32)))

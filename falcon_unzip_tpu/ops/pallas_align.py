@@ -74,19 +74,34 @@ def _kernel(qg_ref, trg_ref, n_ref, m_ref,
         r = start - base
         return pltpu.roll(win, (N - r) % N, axis=1)[:, :W]
 
-    def step(d, _):
+    def sub(d, prev1, prev2, wr, s_static=None):
+        """One antidiagonal: prev1 holds d-1, prev2 holds d-2; the new
+        wavefront is written into wr (aliasing prev2, whose values are
+        dead).  s_static passes the compile-time band shifts of the
+        steady state (d >= W+2: s1 = d&1, s2 = 1) so sel() lowers to a
+        bare roll/identity — same scheme as ops.pallas_pairhmm."""
         lo = _lo(d, W)
-        s1 = lo - _lo(d - 1, W)
-        s2 = lo - _lo(d - 2, W)
-        V1 = V1_ref[:]
-        V2 = V2_ref[:]
+        if s_static is None:
+            s1 = lo - _lo(d - 1, W)
+            s2 = lo - _lo(d - 2, W)
+            pick = sel
+        else:
+            s1, s2 = s_static
+
+            def pick(V, s, base_k):
+                if base_k == -1:
+                    return shift_m1(V) if s == 0 else V
+                return V if s == 0 else shift_p1(V)
+
+        V1 = prev1[:]
+        V2 = prev2[:]
 
         i = lo + w_iota
         j = d - i
 
-        up = sel(V1, s1, -1)
-        left = sel(V1, s1, 0)
-        diag = sel(V2, s2, -1)
+        up = pick(V1, s1, -1)
+        left = pick(V1, s1, 0)
+        diag = pick(V2, s2, -1)
 
         qi = load_win(qg_ref, lo)
         tj = load_win(trg_ref, G + Lt - d + lo)
@@ -136,11 +151,26 @@ def _kernel(qg_ref, trg_ref, n_ref, m_ref,
                               bp_hbm.at[d, pl.ds(row0, PB), :],
                               sems.at[slot]).start()
 
-        V2_ref[:] = V1
-        V1_ref[:] = V
+        wr[:] = V
+
+    def dbl(k, _):
+        d = 2 * k
+        # entering d: V1_ref holds d-1, V2_ref holds d-2
+        sub(d, V1_ref, V2_ref, V2_ref)       # V2 <- d
+        sub(d + 1, V2_ref, V1_ref, V1_ref)   # V1 <- d+1
         return 0
 
-    jax.lax.fori_loop(0, Dmax, step, 0)
+    def dbl_steady(k, _):
+        d = 2 * k
+        sub(d, V1_ref, V2_ref, V2_ref, s_static=(0, 1))
+        sub(d + 1, V2_ref, V1_ref, V1_ref, s_static=(1, 1))
+        return 0
+
+    split = min((W + 2) // 2, Dmax // 2)
+    jax.lax.fori_loop(0, split, dbl, 0)
+    jax.lax.fori_loop(split, Dmax // 2, dbl_steady, 0)
+    if Dmax % 2:
+        sub(Dmax - 1, V1_ref, V2_ref, V2_ref)
     # drain the last two in-flight DMAs
     @pl.when(Dmax >= 2)
     def _():

@@ -226,7 +226,7 @@ class PallasPairHMMScorer:
     """Drop-in replacement for ops.pairhmm.PairHMMScorer on TPU."""
 
     def __init__(self, W: int = 128, params: HMMParams | None = None,
-                 PB: int = 128, interpret: bool = False):
+                 PB: int = 256, interpret: bool = False):
         if not interpret:
             assert W % 128 == 0, "compiled path needs W to be tile-aligned"
         self.W = W
