@@ -39,7 +39,18 @@ class PolisherConfig:
     margin_frac: float = 0.7     # vote winner fraction below which to test
     hmm_band: int = 48
     use_pallas: bool | None = None   # None = auto (TPU + aligned band)
+    score_batch: int = 8192          # max (variant, read) pairs per dispatch
     params: HMMParams = dataclasses.field(default_factory=HMMParams)
+
+
+@dataclasses.dataclass
+class _WinState:
+    """Mutable per-window refinement state (see Polisher._refine_windows)."""
+
+    cns: np.ndarray                  # current consensus (int8 codes)
+    votes: np.ndarray                # (3, t_win, 5) vote tensor
+    segs: list
+    active: bool
 
 
 @dataclasses.dataclass
@@ -116,26 +127,6 @@ class Polisher:
                                         min_cov=self.cfg.min_cov)
         return cns, cov
 
-    def _arrow_refine(self, cns: np.ndarray, votes: np.ndarray,
-                      segments: list[np.ndarray]) -> np.ndarray:
-        """Greedy mutation testing against read segments (batched HMM)."""
-        cfg = self.cfg
-        if not segments or cfg.arrow_rounds == 0 or len(cns) == 0:
-            return cns
-        for _ in range(cfg.arrow_rounds):
-            cand = self._candidates(cns, votes)
-            if not cand:
-                break
-            variants = [("keep", cns)]
-            for p in cand:
-                variants.extend(mutations_of(cns, p))
-            lls = self._score_variants([v for _, v in variants], segments)
-            best = int(np.argmax(lls))
-            if best == 0:
-                break
-            cns = variants[best][1]
-        return cns
-
     def _candidates(self, cns: np.ndarray, votes: np.ndarray) -> list[int]:
         """Low-margin consensus columns (approx mapping votes->cns coords).
 
@@ -153,67 +144,127 @@ class Polisher:
         order = np.argsort((win / np.maximum(tot, 1))[pos], kind="stable")
         return [int(p) for p in pos[order][: cfg.arrow_candidates]]
 
-    def _score_variants(self, variants: list[np.ndarray],
-                        segments: list[np.ndarray]) -> np.ndarray:
-        """Total read log-likelihood per variant, one batched device call."""
-        qs, ts, vid = [], [], []
-        for vi, v in enumerate(variants):
-            for seg in segments:
-                qs.append(seg)
-                ts.append(v)
-                vid.append(vi)
-        if not qs:
-            return np.zeros(len(variants), np.float32)
-        Lq = _round128(max(len(q) for q in qs))
-        Lt = _round128(max(len(t) for t in ts))
-        P = len(qs)
-        qa = np.full((P, Lq), PAD, np.int8)
-        ta = np.full((P, Lt), PAD, np.int8)
-        nn = np.zeros(P, np.int32)
-        mm = np.zeros(P, np.int32)
-        for i, (q, t) in enumerate(zip(qs, ts)):
-            qa[i, : len(q)] = q
-            ta[i, : len(t)] = t
-            nn[i] = len(q)
-            mm[i] = len(t)
-        ll = self._scorer(qa, ta, nn, mm)
-        vid = np.array(vid)
-        out = np.zeros(len(variants), np.float32)
-        np.add.at(out, vid, ll)
-        return out
-
     # -- contig polish -----------------------------------------------------
 
-    def polish_contig(self, name: str, template: np.ndarray, aln: AlnSet,
-                      ctg_id: int) -> PolishedContig:
+    def _prep_windows(self, template: np.ndarray, aln: AlnSet,
+                      ctg_id: int) -> list["_WinState"]:
+        """Vote consensus + read segments for every window of a contig."""
         cfg = self.cfg
         rec_idx = np.nonzero(aln.ctg == ctg_id)[0]
         t_len = len(template)
         step = cfg.window - cfg.overlap
-        pieces: list[np.ndarray] = []
-        qvs: list[np.ndarray] = []
+        states: list[_WinState] = []
         lo = 0
         while lo < t_len:
             hi = min(t_len, lo + cfg.window)
             votes = window_votes(aln, rec_idx, lo, hi)
-            cns, cov = self._vote_consensus(votes, template[lo:hi])
+            cns, _cov = self._vote_consensus(votes, template[lo:hi])
             segs = [s for _, s, covers in
                     window_read_segments(aln, rec_idx, lo, hi,
                                          full_span_only=True)]
-            if cfg.arrow_rounds > 0 and len(segs) >= cfg.min_cov:
-                cns = self._arrow_refine(cns, votes, segs)
-            pieces.append(cns)
-            qvs.append(_qv_from_votes(votes, cns))
+            active = (cfg.arrow_rounds > 0 and len(segs) >= cfg.min_cov
+                      and len(cns) > 0)
+            states.append(_WinState(cns=cns, votes=votes, segs=segs,
+                                    active=active))
             if hi >= t_len:
                 break
             lo += step
-        seq, qv = _stitch(pieces, qvs, cfg.overlap, cfg.splice_k)
+        return states
+
+    def _refine_windows(self, states: list["_WinState"]) -> None:
+        """Greedy mutation testing, batched ACROSS windows per round.
+
+        Decision sequence per window is identical to refining each
+        window alone (same candidates, same argmax, same stop rule) —
+        only the device dispatch is shared, turning windows x rounds
+        scoring calls into arrow_rounds chunked batches.  This is what
+        keeps the polish stage dispatch-bound -> compute-bound on the
+        remote-TPU path (SURVEY.md §3.4: Arrow is the hottest loop)."""
+        cfg = self.cfg
+        for _ in range(cfg.arrow_rounds):
+            qs: list[np.ndarray] = []
+            ts: list[np.ndarray] = []
+            pair_w: list[int] = []
+            pair_v: list[int] = []
+            win_variants: dict[int, list[np.ndarray]] = {}
+            for k, st in enumerate(states):
+                if not st.active:
+                    continue
+                cand = self._candidates(st.cns, st.votes)
+                if not cand:
+                    st.active = False
+                    continue
+                variants = [st.cns]
+                for p in cand:
+                    variants.extend(v for _, v in mutations_of(st.cns, p))
+                win_variants[k] = variants
+                for vi, v in enumerate(variants):
+                    for seg in st.segs:
+                        qs.append(seg)
+                        ts.append(v)
+                        pair_w.append(k)
+                        pair_v.append(vi)
+            if not qs:
+                break
+            lls = self._score_pairs(qs, ts)
+            pair_w_a = np.asarray(pair_w)
+            pair_v_a = np.asarray(pair_v)
+            for k, variants in win_variants.items():
+                sel = pair_w_a == k
+                tot = np.zeros(len(variants), np.float32)
+                np.add.at(tot, pair_v_a[sel], lls[sel])
+                best = int(np.argmax(tot))
+                if best == 0:
+                    states[k].active = False
+                else:
+                    states[k].cns = variants[best]
+
+    def _score_pairs(self, qs: list[np.ndarray],
+                     ts: list[np.ndarray]) -> np.ndarray:
+        """Batched pair log-likelihoods, chunked to bound device memory."""
+        cap = self.cfg.score_batch
+        out = np.zeros(len(qs), np.float32)
+        Lq = _round128(max(len(q) for q in qs))
+        Lt = _round128(max(len(t) for t in ts))
+        for lo in range(0, len(qs), cap):
+            hi = min(len(qs), lo + cap)
+            P = hi - lo
+            qa = np.full((P, Lq), PAD, np.int8)
+            ta = np.full((P, Lt), PAD, np.int8)
+            nn = np.zeros(P, np.int32)
+            mm = np.zeros(P, np.int32)
+            for i in range(P):
+                q, t = qs[lo + i], ts[lo + i]
+                qa[i, : len(q)] = q
+                ta[i, : len(t)] = t
+                nn[i] = len(q)
+                mm[i] = len(t)
+            out[lo:hi] = self._scorer(qa, ta, nn, mm)
+        return out
+
+    def _stitch_contig(self, name: str,
+                       states: list["_WinState"]) -> PolishedContig:
+        pieces = [st.cns for st in states]
+        qvs = [_qv_from_votes(st.votes, st.cns) for st in states]
+        seq, qv = _stitch(pieces, qvs, self.cfg.overlap, self.cfg.splice_k)
         return PolishedContig(name=name, seq=seq, qv=qv)
+
+    def polish_contig(self, name: str, template: np.ndarray, aln: AlnSet,
+                      ctg_id: int) -> PolishedContig:
+        states = self._prep_windows(template, aln, ctg_id)
+        self._refine_windows(states)
+        return self._stitch_contig(name, states)
 
     def polish_all(self, contigs: list[tuple[str, np.ndarray]],
                    aln: AlnSet) -> list[PolishedContig]:
-        return [self.polish_contig(nm, seq, aln, ci)
-                for ci, (nm, seq) in enumerate(contigs)]
+        """Polish every contig with refinement batched across ALL windows
+        of ALL contigs (one scoring batch per round, chunked)."""
+        per_ctg = [self._prep_windows(seq, aln, ci)
+                   for ci, (_nm, seq) in enumerate(contigs)]
+        flat = [st for states in per_ctg for st in states]
+        self._refine_windows(flat)
+        return [self._stitch_contig(nm, states)
+                for (nm, _), states in zip(contigs, per_ctg)]
 
 
 def _qv_from_votes(votes: np.ndarray, cns: np.ndarray) -> np.ndarray:
