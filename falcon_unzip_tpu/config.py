@@ -57,6 +57,8 @@ class GraphCfg:
     fuzz: int = 60
     reduction_fuzz: int = 100
     max_bubble_steps: int = 64
+    dedup: bool = False              # drop h_ctgs duplicating their primary
+    dedup_max_identity: float = 0.99  # (fc_dedup_h_tigs role)
 
 
 @dataclasses.dataclass

@@ -60,6 +60,14 @@ class Stage:
             return False
         return all(os.path.exists(o) for o in self.outputs)
 
+    def metrics(self) -> dict:
+        """Metrics stored by the last completed run (empty if none)."""
+        try:
+            with open(self.marker) as fh:
+                return json.load(fh).get("metrics", {})
+        except Exception:
+            return {}
+
     def run(self, fn: Callable[["Stage"], dict | None]) -> bool:
         """Execute the stage body; returns True if it ran, False if skipped."""
         if self.is_done():

@@ -55,49 +55,67 @@ def run_quiver(cfg: PipelineConfig) -> dict:
     reads = read_seqs(reads_path)   # FASTA/FASTQ/BAM or .fofn of them
     logger.info("polish: %d reads vs %d contigs", len(reads), len(contigs))
 
+    # reads are aligned once, lazily — if every stage below is up to date
+    # on resume, the (expensive) alignment never runs
+    _aln = {}
+
+    def get_aln():
+        if "a" not in _aln:
+            aligner = ReadToContigAligner(contigs, AlignerConfig(
+                k=cfg.align.k, band=cfg.align.band,
+                window_pad=cfg.align.window_pad,
+                min_identity=cfg.align.min_identity,
+                batch_pairs=cfg.align.batch_pairs))
+            _aln["a"] = aligner.align_batch(reads)
+        return _aln["a"]
+
     # ---- stage 1: track reads -> combined reference (rr_hctg_track role)
     track_stage = Stage(out, "1-track", inputs=[reads_path, p_path, h_path],
                         outputs=["read_to_contig_map.msgpack"],
                         resume=cfg.resume)
-    aligner = ReadToContigAligner(contigs, AlignerConfig(
-        k=cfg.align.k, band=cfg.align.band,
-        window_pad=cfg.align.window_pad,
-        min_identity=cfg.align.min_identity,
-        batch_pairs=cfg.align.batch_pairs))
-    aln = aligner.align_batch(reads)
 
     def _track(st: Stage):
+        aln = get_aln()
         r2c = {int(aln.read_id[a]): int(aln.ctg[a]) for a in range(len(aln))}
         serialize(st.out("read_to_contig_map.msgpack"), r2c)
         return {"n_aligned": len(aln)}
 
     track_stage.run(_track)
 
-    # ---- stage 2: per-contig windowed polish (variantCaller/arrow role)
-    from ..parallel.sharding import ShardedPairHMMScorer, make_pipeline_mesh
-    mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par)
-    scorer = ShardedPairHMMScorer(mesh, W=cfg.polish.hmm_band) \
-        if mesh is not None else None
-    if mesh is not None:
-        logger.info("polish scoring over mesh %s", dict(mesh.shape))
-    polisher = Polisher(PolisherConfig(
-        window=cfg.polish.window, overlap=cfg.polish.overlap,
-        min_cov=cfg.polish.min_cov, arrow_rounds=cfg.polish.arrow_rounds,
-        hmm_band=cfg.polish.hmm_band), scorer=scorer)
-    polished = polisher.polish_all(list(zip(names, contigs)), aln)
+    # ---- stage 2: windowed polish (variantCaller/arrow role), resumable
+    polish_stage = Stage(
+        out, "2-polish", inputs=[reads_path, p_path, h_path],
+        outputs=["../cns_p_ctg.fasta", "../cns_p_ctg.fastq",
+                 "../cns_h_ctg.fasta", "../cns_h_ctg.fastq"],
+        resume=cfg.resume)
 
-    # ---- gather
-    p_out = [c for i, c in enumerate(polished) if i < n_primary]
-    h_out = [c for i, c in enumerate(polished) if i >= n_primary]
-    _emit(out, "cns_p_ctg", p_out)
-    _emit(out, "cns_h_ctg", h_out)
-    stats = {
-        "p": assembly_stats([c.seq for c in p_out]),
-        "h": assembly_stats([c.seq for c in h_out]),
-        "mean_qv": round(float(np.mean([c.qv.mean() for c in polished
-                                        if len(c.qv)])), 2)
-        if polished else 0.0,
-    }
+    def _polish(st: Stage):
+        from ..parallel.sharding import (ShardedPairHMMScorer,
+                                         make_pipeline_mesh)
+        mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par)
+        scorer = ShardedPairHMMScorer(mesh, W=cfg.polish.hmm_band) \
+            if mesh is not None else None
+        if mesh is not None:
+            logger.info("polish scoring over mesh %s", dict(mesh.shape))
+        polisher = Polisher(PolisherConfig(
+            window=cfg.polish.window, overlap=cfg.polish.overlap,
+            min_cov=cfg.polish.min_cov, arrow_rounds=cfg.polish.arrow_rounds,
+            hmm_band=cfg.polish.hmm_band), scorer=scorer)
+        polished = polisher.polish_all(list(zip(names, contigs)), get_aln())
+        p_out = [c for i, c in enumerate(polished) if i < n_primary]
+        h_out = [c for i, c in enumerate(polished) if i >= n_primary]
+        _emit(out, "cns_p_ctg", p_out)
+        _emit(out, "cns_h_ctg", h_out)
+        return {
+            "p": assembly_stats([c.seq for c in p_out]),
+            "h": assembly_stats([c.seq for c in h_out]),
+            "mean_qv": round(float(np.mean([c.qv.mean() for c in polished
+                                            if len(c.qv)])), 2)
+            if polished else 0.0,
+        }
+
+    polish_stage.run(_polish)
+    stats = polish_stage.metrics()
     metrics.log("polish", **stats)
     logger.info("polish done: %s", stats)
     return {**stats, "out_dir": out}

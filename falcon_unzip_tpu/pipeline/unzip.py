@@ -161,6 +161,18 @@ def run_unzip(cfg: PipelineConfig) -> dict:
                                   max_bubble_steps=cfg.graph.max_bubble_steps))
     res = uz.unzip(ovl, keep)
 
+    # ---- optional haplotig dedup (fc_dedup_h_tigs role)
+    if cfg.graph.dedup and res.h_ctg:
+        from ..models.dedup import dedup_haplotigs
+        from ..seq import SeqBatch
+        p_b = SeqBatch.from_strs([sq for _, sq, _ in res.p_ctg])
+        h_b = SeqBatch.from_strs([h.seq for h in res.h_ctg])
+        kept = set(dedup_haplotigs(
+            p_b, h_b, max_identity=cfg.graph.dedup_max_identity))
+        dropped = len(res.h_ctg) - len(kept)
+        res.h_ctg = [h for i, h in enumerate(res.h_ctg) if i in kept]
+        metrics.log("dedup", n_dropped=dropped, n_kept=len(res.h_ctg))
+
     # ---- graph + overlap intermediates (sg_edges_list / LA dump parity)
     if res.graph is not None:
         res.graph.write_sg_edges(os.path.join(out, "sg_edges_list"),

@@ -117,3 +117,31 @@ def test_config_ini_loading(tmp_path):
     assert cfg.align.band == 512
     cfg.out_dir = str(tmp_path)
     cfg.validate()
+
+
+def test_quiver_resume_skips_polish(unzip_result, caplog):
+    """Second run must skip both quiver stages (and the alignment)."""
+    import logging
+    _d, _dip, cfg, _res = unzip_result
+    r1 = run_quiver(cfg)
+    with caplog.at_level(logging.INFO):
+        r2 = run_quiver(cfg)
+    assert "up to date -- skipped" in caplog.text
+    assert r2["mean_qv"] == r1["mean_qv"]
+    assert r2["p"] == r1["p"]
+
+
+def test_unzip_dedup_flag(tmp_path):
+    """graph.dedup drops haplotigs near-identical to their primary."""
+    import dataclasses
+    import numpy as np
+    from falcon_unzip_tpu.models.dedup import dedup_haplotigs
+    from falcon_unzip_tpu.seq import SeqBatch
+    from falcon_unzip_tpu.utils.simulate import random_genome, mutate_read
+    p = random_genome(3000, 1)
+    dup = mutate_read(p, 0.001, np.random.default_rng(2))      # ~99.9% id
+    distinct = mutate_read(p, 0.05, np.random.default_rng(3))  # ~95% id
+    p_b = SeqBatch.from_strs([p])
+    h_b = SeqBatch.from_strs([dup, distinct])
+    kept = dedup_haplotigs(p_b, h_b, max_identity=0.99)
+    assert 1 in kept and 0 not in kept
