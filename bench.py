@@ -43,7 +43,7 @@ def _time_chained(fn, args) -> float:
     """Best per-call seconds over warm repeats of a K-chained dispatch."""
     v = np.asarray(fn(*args))
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         v = np.asarray(fn(*args))
         best = min(best, time.perf_counter() - t0)

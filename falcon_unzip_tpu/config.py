@@ -84,6 +84,7 @@ class PipelineConfig:
     reads: str = ""              # FASTA/FASTQ(.gz) raw reads for polish
     draft: str = ""              # optional draft p_ctg FASTA (else de novo)
     out_dir: str = "./fc_unzip_tpu_out"
+    profile_dir: str = ""        # write a jax.profiler trace per driver run
     # stages
     align: AlignCfg = dataclasses.field(default_factory=AlignCfg)
     phase: PhaseCfg = dataclasses.field(default_factory=PhaseCfg)

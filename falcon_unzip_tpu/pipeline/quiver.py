@@ -31,6 +31,14 @@ logger = logging.getLogger(__name__)
 
 
 def run_quiver(cfg: PipelineConfig) -> dict:
+    if cfg.profile_dir:  # jax.profiler device trace around the whole run
+        from ..utils.profiling import device_trace
+        with device_trace(cfg.profile_dir):
+            return _run_quiver(cfg)
+    return _run_quiver(cfg)
+
+
+def _run_quiver(cfg: PipelineConfig) -> dict:
     unzip_dir = os.path.join(cfg.out_dir, "3-unzip")
     out = os.path.join(cfg.out_dir, "4-polish")
     os.makedirs(out, exist_ok=True)

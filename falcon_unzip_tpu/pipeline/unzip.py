@@ -38,6 +38,14 @@ logger = logging.getLogger(__name__)
 
 
 def run_unzip(cfg: PipelineConfig) -> dict:
+    if cfg.profile_dir:  # jax.profiler device trace around the whole run
+        from ..utils.profiling import device_trace
+        with device_trace(cfg.profile_dir):
+            return _run_unzip(cfg)
+    return _run_unzip(cfg)
+
+
+def _run_unzip(cfg: PipelineConfig) -> dict:
     cfg.validate()
     out = os.path.join(cfg.out_dir, "3-unzip")
     os.makedirs(out, exist_ok=True)
