@@ -111,6 +111,14 @@ class ReadToContigAligner:
             for s in range(0, len(jidx), cfg.batch_pairs):
                 chunk = jidx[s : s + cfg.batch_pairs]
                 P = len(chunk)
+                # pad the tail chunk to the full batch (repeat last job,
+                # results discarded) so each bucket compiles exactly ONE
+                # device shape — ragged tails would each trigger a fresh
+                # (serialized, expensive) kernel compile
+                n_real = P
+                if P < cfg.batch_pairs and s > 0:
+                    chunk = chunk + [chunk[-1]] * (cfg.batch_pairs - P)
+                    P = cfg.batch_pairs
                 qa = np.full((P, bq), PAD, np.int8)
                 ta = np.full((P, bt), PAD, np.int8)
                 nn = np.zeros(P, np.int32)
@@ -122,7 +130,7 @@ class ReadToContigAligner:
                     nn[pi] = len(q)
                     mm[pi] = hi - lo
                 res = aligner(qa, ta, nn, mm, want_moves=True)
-                for pi, ji in enumerate(chunk):
+                for pi, ji in enumerate(chunk[:n_real]):
                     rid, strand, ctg, lo, hi, q = jobs[ji]
                     moves = res["moves"][pi]
                     dist = int(res["dist"][pi])

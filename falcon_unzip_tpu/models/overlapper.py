@@ -141,6 +141,14 @@ class PreadOverlapper:
             for s in range(0, len(jidx), cfg.batch_pairs):
                 chunk = jidx[s : s + cfg.batch_pairs]
                 P = len(chunk)
+                # pad the tail chunk to the full batch (repeat last job,
+                # results discarded): one device shape per bucket, so the
+                # serialized remote kernel compile runs once, not per
+                # ragged tail size
+                n_real = P
+                if P < cfg.batch_pairs and s > 0:
+                    chunk = chunk + [chunk[-1]] * (cfg.batch_pairs - P)
+                    P = cfg.batch_pairs
                 qa = np.full((P, bq), PAD, np.int8)
                 ta = np.full((P, bt), PAD, np.int8)
                 nn = np.zeros(P, np.int32)
@@ -152,7 +160,7 @@ class PreadOverlapper:
                     nn[pi] = len(q)
                     mm[pi] = len(t)
                 res = aligner(qa, ta, nn, mm, want_moves=True)
-                for pi, ji in enumerate(chunk):
+                for pi, ji in enumerate(chunk[:n_real]):
                     a, b, strand, a_lo, ov, t_lo, t_hi, q, t = jobs[ji]
                     dist = int(res["dist"][pi])
                     if dist >= (1 << 20):

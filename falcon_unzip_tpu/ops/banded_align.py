@@ -292,10 +292,10 @@ class BandedAligner:
             m = np.concatenate([np.asarray(m), np.tile(np.asarray(m)[-1:],
                                                        pad)])
         qg, trg, G = prepare_batch(q, t, self.W)
-        qg = np.pad(qg, ((0, 0), (0, 256)),
-                    constant_values=PAD).astype(np.int32)
-        trg = np.pad(trg, ((0, 0), (0, 256)),
-                     constant_values=PAD).astype(np.int32)
+        # stay int8 on the host: the device widens to int32 inside the
+        # jit (4x smaller RPC upload through the tunnel)
+        qg = np.pad(qg, ((0, 0), (0, 256)), constant_values=PAD)
+        trg = np.pad(trg, ((0, 0), (0, 256)), constant_values=PAD)
         n8 = np.tile(np.asarray(n, np.int32)[:, None], (1, 128))
         m8 = np.tile(np.asarray(m, np.int32)[:, None], (1, 128))
         res = pallas_banded_align(

@@ -31,6 +31,7 @@ from .banded_align import (MOVE_DIAG, MOVE_LEFT, MOVE_NONE, MOVE_UP,
                            build_schedule, prepare_batch)
 
 KEY_SHIFT = 8192  # key = V * KEY_SHIFT + j;  V clipped below 2^18
+DMA_K = 16        # 2-bit moves packed per int32 word (diagonals per copy)
 
 
 def _lo(d, W):
@@ -39,8 +40,9 @@ def _lo(d, W):
 
 def _kernel(qg_ref, trg_ref, n_ref, m_ref,
             bp_hbm, key_ref, corner_ref,
-            V1_ref, V2_ref, stage_ref, sems, *,
-            W: int, Lt: int, G: int, Dmax: int, mode: str):
+            V1_ref, V2_ref, pack_ref, sems, *,
+            W: int, Lt: int, G: int, Dmax: int, mode: str,
+            emit_bp: bool = True):
     PB = qg_ref.shape[0]
     g = pl.program_id(0)
     row0 = g * PB          # this program's pair-block offset in bp_hbm
@@ -136,20 +138,26 @@ def _kernel(qg_ref, trg_ref, n_ref, m_ref,
         hit = valid & (i == n) & (j == m)
         corner_ref[:] = jnp.where(hit, V, corner_ref[:])
 
-        # stream backpointers to HBM (double-buffered): before reusing
-        # this slot, wait for the copy started at step d-2 on it
-        slot = d % 2
-        @pl.when(d >= 2)
-        def _():
-            pltpu.make_async_copy(
-                stage_ref.at[slot],
-                bp_hbm.at[d - 2, pl.ds(row0, PB), :],
-                sems.at[slot]).wait()
+        # Backpointer emission: moves are 2 bits, so 16 diagonals pack
+        # into ONE int32 plane at a STATIC VMEM address (a dynamic
+        # stage_ref[slot, kk] store lowered to an expensive per-step op;
+        # measured W-independent runtime).  Every 16 steps the packed
+        # plane ships to HBM with one short synchronous copy.
+        if not emit_bp:
+            wr[:] = V
+            return
+        kk = d % DMA_K
+        blk = d // DMA_K
+        bp32 = bp_d.astype(jnp.int32)
+        shifted = jnp.left_shift(bp32, 2 * kk)
+        pack_ref[:] = jnp.where(kk == 0, shifted, pack_ref[:] | shifted)
 
-        stage_ref[slot] = bp_d
-        pltpu.make_async_copy(stage_ref.at[slot],
-                              bp_hbm.at[d, pl.ds(row0, PB), :],
-                              sems.at[slot]).start()
+        @pl.when(kk == DMA_K - 1)
+        def _():
+            cp = pltpu.make_async_copy(
+                pack_ref, bp_hbm.at[blk, pl.ds(row0, PB), :], sems.at[0])
+            cp.start()
+            cp.wait()
 
         wr[:] = V
 
@@ -171,29 +179,32 @@ def _kernel(qg_ref, trg_ref, n_ref, m_ref,
     jax.lax.fori_loop(split, Dmax // 2, dbl_steady, 0)
     if Dmax % 2:
         sub(Dmax - 1, V1_ref, V2_ref, V2_ref)
-    # drain the last two in-flight DMAs
-    @pl.when(Dmax >= 2)
-    def _():
-        pltpu.make_async_copy(stage_ref.at[Dmax % 2],
-                              bp_hbm.at[Dmax - 2, pl.ds(row0, PB), :],
-                              sems.at[Dmax % 2]).wait()
-    @pl.when(Dmax >= 1)
-    def _():
-        pltpu.make_async_copy(stage_ref.at[(Dmax - 1) % 2],
-                              bp_hbm.at[Dmax - 1, pl.ds(row0, PB), :],
-                              sems.at[(Dmax - 1) % 2]).wait()
+
+    # flush the final partial pack (upper bits are stale from the prior
+    # block; the unpacker only reads bits of diagonals < Dmax)
+    if emit_bp and Dmax % DMA_K:
+        cp = pltpu.make_async_copy(
+            pack_ref, bp_hbm.at[Dmax // DMA_K, pl.ds(row0, PB), :],
+            sems.at[0])
+        cp.start()
+        cp.wait()
 
 
 @functools.partial(jax.jit,
                    static_argnames=("W", "Lt", "G", "Dmax", "PB", "mode",
-                                    "interpret"))
+                                    "interpret", "emit_bp"))
 def pallas_banded_align(qg, trg, n, m, *, W, Lt, G, Dmax, PB, mode,
-                        interpret=False):
+                        interpret=False, emit_bp=True):
+    # sequences may arrive int8 (4x cheaper host->device transfer); the
+    # kernel wants int32 lanes, so widen ON DEVICE inside the jit
+    qg = qg.astype(jnp.int32)
+    trg = trg.astype(jnp.int32)
     P = qg.shape[0]
     LQG = qg.shape[1]
     LTG = trg.shape[1]
     grid = P // PB
-    kern = functools.partial(_kernel, W=W, Lt=Lt, G=G, Dmax=Dmax, mode=mode)
+    kern = functools.partial(_kernel, W=W, Lt=Lt, G=G, Dmax=Dmax, mode=mode,
+                             emit_bp=emit_bp)
     bp, key, corner = pl.pallas_call(
         kern,
         grid=(grid,),
@@ -216,19 +227,24 @@ def pallas_banded_align(qg, trg, n, m, *, W, Lt, G, Dmax, PB, mode,
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Dmax, P, W), jnp.int8),
+            jax.ShapeDtypeStruct((-(-Dmax // DMA_K), P, W), jnp.int32),
             jax.ShapeDtypeStruct((P, W), jnp.int32),
             jax.ShapeDtypeStruct((P, W), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((PB, W), jnp.int32),
             pltpu.VMEM((PB, W), jnp.int32),
-            pltpu.VMEM((2, PB, W), jnp.int8),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((PB, W), jnp.int32),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
         interpret=interpret,
     )(qg, trg, n, m)
+
+    # unpack 2-bit moves: bp[d] = (packed[d // 16] >> (2 * (d % 16))) & 3
+    d_idx = jnp.arange(Dmax)
+    bp8 = ((bp[d_idx // DMA_K]
+            >> (2 * (d_idx % DMA_K))[:, None, None]) & 3).astype(jnp.int8)
 
     key_min = jnp.min(key, axis=1)
     best = key_min // KEY_SHIFT
@@ -240,4 +256,4 @@ def pallas_banded_align(qg, trg, n, m, *, W, Lt, G, Dmax, PB, mode,
         dist = jnp.where(key_min == 0x7FFFFFFF, INF, best)
         end_i, end_j = n[:, 0], best_j
     return {"dist": dist.astype(jnp.int32), "end_i": end_i,
-            "end_j": end_j.astype(jnp.int32), "bp": bp}
+            "end_j": end_j.astype(jnp.int32), "bp": bp8}

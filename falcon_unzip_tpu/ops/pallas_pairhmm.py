@@ -188,6 +188,9 @@ def _kernel(qg_ref, trg_ref, n_ref, m_ref, out_ref,
                                     "params_key", "interpret"))
 def _pallas_forward(qg, trg, n, m, *, W, Lt, G, Dmax, PB, params_key,
                     interpret=False):
+    # int8 upload, on-device widen (lane loads want 32-bit data)
+    qg = qg.astype(jnp.int32)
+    trg = trg.astype(jnp.int32)
     params = dict(params_key)
     P = qg.shape[0]
     LQG = qg.shape[1]
@@ -250,10 +253,8 @@ class PallasPairHMMScorer:
         # int32 chars (int8 costs a relayout per load + no 8-bit rotate);
         # extra slack columns for the aligned 2-tile in-kernel windows
         pad_cols = 256
-        qg = np.pad(qg, ((0, 0), (0, pad_cols)),
-                    constant_values=4).astype(np.int32)
-        trg = np.pad(trg, ((0, 0), (0, pad_cols)),
-                     constant_values=4).astype(np.int32)
+        qg = np.pad(qg, ((0, 0), (0, pad_cols)), constant_values=4)
+        trg = np.pad(trg, ((0, 0), (0, pad_cols)), constant_values=4)
         Dmax, _ = build_schedule(Lq, Lt, self.W)
         n8 = np.tile(np.asarray(n, np.int32)[:, None], (1, 128))
         m8 = np.tile(np.asarray(m, np.int32)[:, None], (1, 128))

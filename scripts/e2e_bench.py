@@ -1,0 +1,83 @@
+"""End-to-end unzip+polish wall-clock bench (north-star metric 2).
+
+Simulates a diploid genome at the given scale, runs the full 3-unzip +
+4-polish pipeline, and prints one JSON line with stage wall-clocks and
+bases/s.  Run on the TPU host (kernels on chip) or under
+JAX_PLATFORMS=cpu for the host baseline.
+
+  python scripts/e2e_bench.py [genome_bp] [coverage]
+"""
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    genome_bp = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
+    coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 14.0
+
+    from falcon_unzip_tpu.config import PipelineConfig
+    from falcon_unzip_tpu.io.fasta import write_fasta
+    from falcon_unzip_tpu.pipeline.quiver import run_quiver
+    from falcon_unzip_tpu.pipeline.unzip import run_unzip
+    from falcon_unzip_tpu.seq import decode
+    from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
+
+    d = "/tmp/e2e_bench"
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    n_ctg = max(1, genome_bp // 50_000)
+    per = genome_bp // n_ctg
+
+    t0 = time.perf_counter()
+    pread_names, pread_seqs, raw_names, raw_seqs, drafts = [], [], [], [], []
+    for ci in range(n_ctg):
+        dip = make_diploid(length=per, het_rate=0.012, seed=100 + ci,
+                           het_span=(0.2, 0.8))
+        pr = simulate_reads(dip, coverage=coverage, read_len=2200,
+                            error_rate=0.0, seed=200 + ci)
+        rw = simulate_reads(dip, coverage=coverage + 4, read_len=1800,
+                            error_rate=0.03, seed=300 + ci)
+        pread_names += [f"c{ci}/{n}" for n in pr.batch.names]
+        pread_seqs += [pr.batch.to_str(i) for i in range(len(pr.batch))]
+        raw_names += [f"c{ci}/{n}" for n in rw.batch.names]
+        raw_seqs += [rw.batch.to_str(i) for i in range(len(rw.batch))]
+        drafts.append((f"draft{ci}", decode(dip.hap0)))
+    write_fasta(f"{d}/preads.fa", zip(pread_names, pread_seqs))
+    write_fasta(f"{d}/raw.fa", zip(raw_names, raw_seqs))
+    write_fasta(f"{d}/draft.fa", drafts)
+    sim_s = time.perf_counter() - t0
+
+    cfg = PipelineConfig(preads=f"{d}/preads.fa", reads=f"{d}/raw.fa",
+                         draft=f"{d}/draft.fa", out_dir=f"{d}/out")
+    t0 = time.perf_counter()
+    u = run_unzip(cfg)
+    unzip_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    q = run_quiver(cfg)
+    polish_s = time.perf_counter() - t0
+
+    import jax
+    total = unzip_s + polish_s
+    print(json.dumps({
+        "metric": "e2e_unzip_polish_wall_s",
+        "genome_bp": genome_bp,
+        "n_contigs": n_ctg,
+        "coverage": coverage,
+        "platform": jax.devices()[0].platform,
+        "sim_s": round(sim_s, 1),
+        "unzip_s": round(unzip_s, 1),
+        "polish_s": round(polish_s, 1),
+        "total_s": round(total, 1),
+        "genome_bases_per_sec": round(genome_bp / total, 1),
+        "p_ctg": u["p_ctg"], "h_ctg": u["h_ctg"],
+        "mean_qv": q.get("mean_qv"),
+    }))
+
+
+if __name__ == "__main__":
+    main()
