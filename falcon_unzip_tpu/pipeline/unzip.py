@@ -94,17 +94,27 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
     contigs = [draft.row(i) for i in range(len(draft))]
 
     # ---- stage 1: track + align reads to draft (blasr/phasing prep role)
+    # the alignment is computed lazily: a fully up-to-date resume reloads
+    # everything downstream from stage outputs and never aligns
+    _aln_cache: dict = {}
+
+    def get_aln():
+        if "a" not in _aln_cache:
+            aligner = ReadToContigAligner(contigs, AlignerConfig(
+                k=cfg.align.k, band=cfg.align.band,
+                window_pad=cfg.align.window_pad,
+                min_identity=cfg.align.min_identity,
+                batch_pairs=cfg.align.batch_pairs))
+            _aln_cache["a"] = aligner.align_batch(preads)
+        return _aln_cache["a"]
+
     align_stage = Stage(out, "1-align",
                         inputs=[cfg.preads, draft_stage.out("draft_p_ctg.fa")],
                         outputs=["read_to_contig_map.msgpack"],
                         resume=cfg.resume)
-    aligner = ReadToContigAligner(contigs, AlignerConfig(
-        k=cfg.align.k, band=cfg.align.band, window_pad=cfg.align.window_pad,
-        min_identity=cfg.align.min_identity,
-        batch_pairs=cfg.align.batch_pairs))
-    aln = aligner.align_batch(preads)
 
     def _track(st: Stage):
+        aln = get_aln()
         r2c = {int(aln.read_id[a]): [int(aln.ctg[a]), int(aln.t_start[a]),
                                      int(aln.t_end[a]), int(aln.strand[a])]
                for a in range(len(aln))}
@@ -114,98 +124,142 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
 
     align_stage.run(_track)
 
-    # ---- stage 2: per-contig phasing (fc_phasing role)
+    # ---- stage 2: per-contig phasing (fc_phasing role), resumable
     n_reads = len(preads)
     read_ctg = np.full(n_reads, -1, np.int64)
     read_block = np.full(n_reads, -1, np.int64)
     read_phase = np.full(n_reads, -1, np.int8)
-    ph_cfg = PhasingConfig(
-        min_depth=cfg.phase.min_depth,
-        min_allele_count=cfg.phase.min_allele_count,
-        allele_freq_min=cfg.phase.allele_freq_min,
-        biallelic_frac=cfg.phase.biallelic_frac,
-        max_span=cfg.phase.max_span, min_link=cfg.phase.min_link)
-    from ..parallel.sharding import ShardedPhaseOps, make_pipeline_mesh
-    mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par)
-    phase_ops = ShardedPhaseOps(mesh) if mesh is not None else None
-    if mesh is not None:
-        logger.info("phasing over mesh %s", dict(mesh.shape))
-    phase_rows = []
-    for ci in range(len(contigs)):
-        ph = phase_contig_device(aln, ci, len(contigs[ci]), ph_cfg,
-                                 phase_ops=phase_ops)
-        # later contigs must not overwrite an earlier assignment (a read
-        # maps to one contig; keep the first)
-        fresh = read_ctg[ph.read_ids] < 0
-        read_ctg[ph.read_ids[fresh]] = ci
-        read_block[ph.read_ids[fresh]] = ph.r_block[fresh]
-        read_phase[ph.read_ids[fresh]] = ph.r_phase[fresh]
-        phase_rows.append(phased_reads_table(ph))
-        metrics.log("phasing", ctg=ci, n_het=len(ph.het_pos),
-                    **phase_block_stats(ph.block_id, ph.het_pos))
-    phased = np.concatenate(phase_rows) if phase_rows else np.zeros((0, 4))
-
     phased_path = os.path.join(out, "all_phased_reads")
-    with open(phased_path, "w") as fh:
-        for rid, ctg, blk, phs in phased:
-            if blk >= 0:
-                fh.write(f"{int(ctg):06d}F {int(blk)} {int(phs)} "
-                         f"{_read_name(preads, int(rid))}\n")
+    phasing_stage = Stage(
+        out, "2-phasing",
+        inputs=[cfg.preads, draft_stage.out("draft_p_ctg.fa")],
+        outputs=["../all_phased_reads"], resume=cfg.resume)
+
+    def _phase(st: Stage):
+        ph_cfg = PhasingConfig(
+            min_depth=cfg.phase.min_depth,
+            min_allele_count=cfg.phase.min_allele_count,
+            allele_freq_min=cfg.phase.allele_freq_min,
+            biallelic_frac=cfg.phase.biallelic_frac,
+            max_span=cfg.phase.max_span, min_link=cfg.phase.min_link)
+        from ..parallel.sharding import ShardedPhaseOps, make_pipeline_mesh
+        mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par)
+        phase_ops = ShardedPhaseOps(mesh) if mesh is not None else None
+        if mesh is not None:
+            logger.info("phasing over mesh %s", dict(mesh.shape))
+        aln = get_aln()
+        phase_rows = []
+        for ci in range(len(contigs)):
+            ph = phase_contig_device(aln, ci, len(contigs[ci]), ph_cfg,
+                                     phase_ops=phase_ops)
+            # later contigs must not overwrite an earlier assignment (a
+            # read maps to one contig; keep the first)
+            fresh = read_ctg[ph.read_ids] < 0
+            read_ctg[ph.read_ids[fresh]] = ci
+            read_block[ph.read_ids[fresh]] = ph.r_block[fresh]
+            read_phase[ph.read_ids[fresh]] = ph.r_phase[fresh]
+            phase_rows.append(phased_reads_table(ph))
+            metrics.log("phasing", ctg=ci, n_het=len(ph.het_pos),
+                        **phase_block_stats(ph.block_id, ph.het_pos))
+        phased = np.concatenate(phase_rows) if phase_rows else \
+            np.zeros((0, 4))
+        with open(phased_path, "w") as fh:
+            for rid, ctg, blk, phs in phased:
+                if blk >= 0:
+                    fh.write(f"{int(ctg):06d}F {int(blk)} {int(phs)} "
+                             f"{_read_name(preads, int(rid))}\n")
+        return {"n_phased": int((read_block >= 0).sum())}
+
+    if not phasing_stage.run(_phase):
+        # resume: rebuild the per-read phase arrays from the stage output
+        name_to_id = {_read_name(preads, r): r for r in range(n_reads)}
+        with open(phased_path) as fh:
+            for line in fh:
+                ctg_s, blk, phs, name = line.split()
+                rid = name_to_id.get(name)
+                if rid is not None:
+                    read_ctg[rid] = int(ctg_s.rstrip("F"), 10)
+                    read_block[rid] = int(blk)
+                    read_phase[rid] = int(phs)
 
     # ---- stage 3: hasm — phase-filtered overlaps + graph + haplotigs
-    ovl = _compute_overlaps()
-    keep = phase_filter_mask(ovl, read_ctg, read_block, read_phase,
-                             OvlpFilterConfig(
-                                 min_overlap=cfg.overlap.min_overlap,
-                                 min_identity=cfg.overlap.min_identity,
-                                 fuzz=cfg.overlap.end_fuzz))
-    metrics.log("ovlp_filter", n_overlaps=len(ovl), n_kept=int(keep.sum()))
+    hasm_stage = Stage(
+        out, "3-hasm", inputs=[cfg.preads, phased_path],
+        outputs=["../all_p_ctg.fa", "../all_h_ctg.fa", "../all_h_ctg_ids",
+                 "../h_ctg_placements.json", "../preads.ovl"],
+        resume=cfg.resume)
 
-    uz = Unzipper(preads, read_block, read_phase, read_ctg=read_ctg,
-                  placements=(_fill(aln, n_reads, "t_start"),
-                              _fill(aln, n_reads, "t_end")),
-                  cfg=UnzipConfig(fuzz=cfg.graph.fuzz,
-                                  reduction_fuzz=cfg.graph.reduction_fuzz,
-                                  max_bubble_steps=cfg.graph.max_bubble_steps))
-    res = uz.unzip(ovl, keep)
+    def _hasm(st: Stage):
+        ovl = _compute_overlaps()
+        keep = phase_filter_mask(ovl, read_ctg, read_block, read_phase,
+                                 OvlpFilterConfig(
+                                     min_overlap=cfg.overlap.min_overlap,
+                                     min_identity=cfg.overlap.min_identity,
+                                     fuzz=cfg.overlap.end_fuzz))
+        metrics.log("ovlp_filter", n_overlaps=len(ovl),
+                    n_kept=int(keep.sum()))
 
-    # ---- optional haplotig dedup (fc_dedup_h_tigs role)
-    if cfg.graph.dedup and res.h_ctg:
-        from ..models.dedup import dedup_haplotigs
-        from ..seq import SeqBatch
-        p_b = SeqBatch.from_strs([sq for _, sq, _ in res.p_ctg])
-        h_b = SeqBatch.from_strs([h.seq for h in res.h_ctg])
-        kept = set(dedup_haplotigs(
-            p_b, h_b, max_identity=cfg.graph.dedup_max_identity))
-        dropped = len(res.h_ctg) - len(kept)
-        res.h_ctg = [h for i, h in enumerate(res.h_ctg) if i in kept]
-        metrics.log("dedup", n_dropped=dropped, n_kept=len(res.h_ctg))
+        # read placements come from the stage-1 track output, so a warm
+        # hasm re-run does not need the aligner
+        from ..io.serialize import deserialize
+        r2c = deserialize(align_stage.out("read_to_contig_map.msgpack"))
+        t_start = np.full(n_reads, -1, np.int64)
+        t_end = np.full(n_reads, -1, np.int64)
+        for rid, rec in r2c.items():
+            t_start[int(rid)] = int(rec[1])
+            t_end[int(rid)] = int(rec[2])
 
-    # ---- graph + overlap intermediates (sg_edges_list / LA dump parity)
-    if res.graph is not None:
-        res.graph.write_sg_edges(os.path.join(out, "sg_edges_list"),
-                                 names=preads.names)
-    from ..io.overlaps import write_overlaps
-    write_overlaps(os.path.join(out, "preads.ovl"), ovl, names=preads.names)
+        uz = Unzipper(preads, read_block, read_phase, read_ctg=read_ctg,
+                      placements=(t_start, t_end),
+                      cfg=UnzipConfig(
+                          fuzz=cfg.graph.fuzz,
+                          reduction_fuzz=cfg.graph.reduction_fuzz,
+                          max_bubble_steps=cfg.graph.max_bubble_steps))
+        res = uz.unzip(ovl, keep)
 
-    # ---- gather outputs
-    write_fasta(os.path.join(out, "all_p_ctg.fa"),
-                ((nm, decode(sq)) for nm, sq, _ in res.p_ctg))
-    write_fasta(os.path.join(out, "all_h_ctg.fa"),
-                ((h.name, decode(h.seq)) for h in res.h_ctg))
-    with open(os.path.join(out, "all_h_ctg_ids"), "w") as fh:
-        for h in res.h_ctg:
-            fh.write(h.name + "\n")
-    serialize(os.path.join(out, "h_ctg_placements.json"),
-              [{"h": h.name, "p": h.primary, "start": h.p_start,
-                "end": h.p_end, "phase": int(h.phase),
-                "n_reads": len(h.reads)} for h in res.h_ctg])
+        # ---- optional haplotig dedup (fc_dedup_h_tigs role)
+        if cfg.graph.dedup and res.h_ctg:
+            from ..models.dedup import dedup_haplotigs
+            from ..seq import SeqBatch
+            p_b = SeqBatch.from_strs([sq for _, sq, _ in res.p_ctg])
+            h_b = SeqBatch.from_strs([h.seq for h in res.h_ctg])
+            kept = set(dedup_haplotigs(
+                p_b, h_b, max_identity=cfg.graph.dedup_max_identity))
+            dropped = len(res.h_ctg) - len(kept)
+            res.h_ctg = [h for i, h in enumerate(res.h_ctg) if i in kept]
+            metrics.log("dedup", n_dropped=dropped, n_kept=len(res.h_ctg))
 
-    p_stats = assembly_stats([sq for _, sq, _ in res.p_ctg])
-    h_stats = assembly_stats([h.seq for h in res.h_ctg])
-    metrics.log("unzip", p=p_stats, h=h_stats)
-    logger.info("unzip done: %s primary, %s haplotigs", p_stats, h_stats)
-    return {"p_ctg": p_stats, "h_ctg": h_stats, "out_dir": out}
+        # ---- graph + overlap intermediates (sg_edges_list / LA dump)
+        if res.graph is not None:
+            res.graph.write_sg_edges(os.path.join(out, "sg_edges_list"),
+                                     names=preads.names)
+        from ..io.overlaps import write_overlaps
+        write_overlaps(os.path.join(out, "preads.ovl"), ovl,
+                       names=preads.names)
+
+        # ---- gather outputs
+        write_fasta(os.path.join(out, "all_p_ctg.fa"),
+                    ((nm, decode(sq)) for nm, sq, _ in res.p_ctg))
+        write_fasta(os.path.join(out, "all_h_ctg.fa"),
+                    ((h.name, decode(h.seq)) for h in res.h_ctg))
+        with open(os.path.join(out, "all_h_ctg_ids"), "w") as fh:
+            for h in res.h_ctg:
+                fh.write(h.name + "\n")
+        serialize(os.path.join(out, "h_ctg_placements.json"),
+                  [{"h": h.name, "p": h.primary, "start": h.p_start,
+                    "end": h.p_end, "phase": int(h.phase),
+                    "n_reads": len(h.reads)} for h in res.h_ctg])
+
+        p_stats = assembly_stats([sq for _, sq, _ in res.p_ctg])
+        h_stats = assembly_stats([h.seq for h in res.h_ctg])
+        metrics.log("unzip", p=p_stats, h=h_stats)
+        return {"p_ctg": p_stats, "h_ctg": h_stats}
+
+    hasm_stage.run(_hasm)
+    stats = hasm_stage.metrics()
+    logger.info("unzip done: %s primary, %s haplotigs",
+                stats.get("p_ctg"), stats.get("h_ctg"))
+    return {**stats, "out_dir": out}
 
 
 def _read_name(batch, rid: int) -> str:
@@ -213,10 +267,3 @@ def _read_name(batch, rid: int) -> str:
         return batch.names[rid]
     return f"read/{rid}"
 
-
-def _fill(aln, n_reads: int, field: str) -> np.ndarray:
-    out = np.full(n_reads, -1, np.int64)
-    vals = getattr(aln, field)
-    for a in range(len(aln)):
-        out[int(aln.read_id[a])] = int(vals[a])
-    return out

@@ -145,3 +145,20 @@ def test_unzip_dedup_flag(tmp_path):
     h_b = SeqBatch.from_strs([dup, distinct])
     kept = dedup_haplotigs(p_b, h_b, max_identity=0.99)
     assert 1 in kept and 0 not in kept
+
+
+def test_unzip_full_resume_skips_all_compute(unzip_result, caplog, monkeypatch):
+    """A fully up-to-date unzip resume must never align (lazy aln)."""
+    import logging
+    from falcon_unzip_tpu.models import aligner as aligner_mod
+    d, dip, cfg, first = unzip_result
+
+    def _boom(*a, **k):
+        raise AssertionError("aligner ran on a fully resumed pipeline")
+
+    monkeypatch.setattr(aligner_mod.ReadToContigAligner, "align_batch",
+                        _boom)
+    with caplog.at_level(logging.INFO):
+        res = run_unzip(cfg)
+    assert res["p_ctg"] == first["p_ctg"]
+    assert caplog.text.count("up to date -- skipped") >= 3
