@@ -30,7 +30,7 @@ class AlignCfg:
     band: int = 256
     window_pad: int = 48
     min_identity: float = 0.65
-    batch_pairs: int = 64
+    batch_pairs: int = 256
 
 
 @dataclasses.dataclass

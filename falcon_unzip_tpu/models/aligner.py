@@ -57,7 +57,7 @@ class AlignerConfig:
     min_anchors: int = 4
     max_hits_per_read: int = 1   # placements kept per read
     min_identity: float = 0.65
-    batch_pairs: int = 64        # device batch size
+    batch_pairs: int = 256        # device batch size
 
 
 class ReadToContigAligner:

@@ -54,7 +54,7 @@ class OverlapperConfig:
     min_overlap: int = 500      # minimum overlap length
     min_identity: float = 0.70
     end_fuzz: int = 60          # tolerance for dovetail/containment calls
-    batch_pairs: int = 64
+    batch_pairs: int = 256
 
 
 class PreadOverlapper:
