@@ -21,7 +21,8 @@ import numpy as np
 
 from ..seq import PAD, SeqBatch, revcomp
 from ..ops.banded_align import BandedAligner
-from ..ops.kmer_index import KmerIndex, chain_diag_bins
+from ..ops.kmer_index import (KmerIndex, chain_best_per_target,
+                              chain_diag_bins)
 
 
 @dataclasses.dataclass
@@ -78,25 +79,18 @@ class PreadOverlapper:
                 continue
             for strand, q in ((0, ra), (1, revcomp(ra))):
                 q_pos, t_pos, t_ctg = self.index.query(q)
-                keep = t_ctg != a
+                # each unordered pair is chained once, from the smaller id
+                # (self anchors drop with it; self-rc is also skipped)
+                keep = t_ctg > a
                 q_pos, t_pos, t_ctg = q_pos[keep], t_pos[keep], t_ctg[keep]
-                # chain per target read
-                for b in np.unique(t_ctg):
-                    if (strand == 0 and b <= a):
-                        continue  # dedupe same-strand pairs
-                    if (strand == 1 and b < a):
-                        continue  # rc pairs computed once (a < b) + self-rc skip
-                    sel = t_ctg == b
-                    hits = chain_diag_bins(
-                        q_pos[sel], t_pos[sel],
-                        np.full(int(sel.sum()), int(b), np.int32),
-                        len(q), cfg.k,
-                        min_anchors=cfg.min_anchors, max_hits_per_read=1)
-                    for h in hits:
-                        # h.t_lo is the exact minimum anchor diagonal (NOT
-                        # the quantized bin start) — quantization here
-                        # shifts the DP window and corrupts overlap ends
-                        cands.append((a, int(b), strand, h.t_lo))
+                # best placement per partner read, one vectorized pass
+                # (t_lo is the exact minimum anchor diagonal, NOT the
+                # quantized bin start — quantization here shifts the DP
+                # window and corrupts overlap ends)
+                bs, t_los = chain_best_per_target(
+                    q_pos, t_pos, t_ctg, min_anchors=cfg.min_anchors)
+                for b, d in zip(bs, t_los):
+                    cands.append((a, int(b), strand, int(d)))
         return cands
 
     def compute(self) -> OverlapSet:

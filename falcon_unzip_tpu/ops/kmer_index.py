@@ -166,3 +166,43 @@ def seed_read(index: KmerIndex, read: np.ndarray, read_len: int | None = None,
         out.extend(hits)
     out.sort(key=lambda h: -h.score)
     return out
+
+
+def chain_best_per_target(q_pos, t_pos, t_ctg, *, bin_width: int = 64,
+                          min_anchors: int = 4):
+    """Best diagonal bin per TARGET read, fully vectorized.
+
+    Equivalent to calling chain_diag_bins(...) with max_hits_per_read=1
+    once per unique target (the overlapper's candidate pattern), but in
+    one numpy pass over all anchors: group anchors into (ctg, diag bin)
+    keys, merge neighbor-bin votes, then take each ctg's highest-vote
+    bin (ties -> smaller bin key, matching chain_diag_bins' stable
+    argsort order).  Returns (ctgs int64[], t_lo int64[]) where t_lo is
+    the minimum anchor diagonal within the winning bin.
+    """
+    if len(q_pos) == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    diag = t_pos.astype(np.int64) - q_pos.astype(np.int64)
+    key = t_ctg.astype(np.int64) * (1 << 40) + \
+        ((diag + (1 << 30)) // bin_width)
+    uniq, inv, counts = np.unique(key, return_inverse=True,
+                                  return_counts=True)
+    merged = counts.copy()
+    same_ctg = (uniq[1:] >> 40) == (uniq[:-1] >> 40)
+    adjacent = (uniq[1:] - uniq[:-1]) == 1
+    nb = same_ctg & adjacent
+    merged[1:][nb] += counts[:-1][nb]
+    merged[:-1][nb] += counts[1:][nb]
+
+    # min anchor diagonal per bin
+    bin_min_diag = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(bin_min_diag, inv, diag)
+
+    # winner per ctg: sort by (-votes, key), first occurrence per ctg
+    order = np.lexsort((uniq, -merged))
+    ctg_of = (uniq >> 40)[order]
+    first = np.unique(ctg_of, return_index=True)[1]
+    win = order[first]
+    ok = merged[win] >= min_anchors
+    win = win[ok]
+    return (uniq[win] >> 40), bin_min_diag[win]
