@@ -21,8 +21,8 @@ import numpy as np
 
 from ..seq import PAD, SeqBatch, revcomp
 from ..ops.banded_align import BandedAligner
-from ..ops.kmer_index import (KmerIndex, chain_best_per_target,
-                              chain_diag_bins)
+from ..ops.kmer_index import (KmerIndex, chain_best_per_pair,
+                              query_flat)
 
 
 @dataclasses.dataclass
@@ -72,25 +72,34 @@ class PreadOverlapper:
         """Seed/chain candidate overlap placements (a_id < b_id only; the
         symmetric record is derived, not recomputed)."""
         cfg = self.cfg
+        n = len(self.seqs)
         cands = []  # (a, b, strand, diag)
-        for a in range(len(self.seqs)):
-            ra = self.seqs[a]
-            if len(ra) < cfg.k:
-                continue
-            for strand, q in ((0, ra), (1, revcomp(ra))):
-                q_pos, t_pos, t_ctg = self.index.query(q)
-                # each unordered pair is chained once, from the smaller id
-                # (self anchors drop with it; self-rc is also skipped)
-                keep = t_ctg > a
-                q_pos, t_pos, t_ctg = q_pos[keep], t_pos[keep], t_ctg[keep]
-                # best placement per partner read, one vectorized pass
+        # pair keys must stay < 2^31 inside chain_best_per_pair; beyond
+        # that, small blocks keep the anchor temporaries cache-resident
+        # (measured: 64-read blocks beat both per-read and full-batch)
+        block = max(1, min(n, 64, (1 << 31) // max(n, 1) - 1))
+        for strand in (0, 1):
+            seqs = self.seqs if strand == 0 else \
+                [revcomp(s) for s in self.seqs]
+            for a0 in range(0, n, block):
+                rid, q_pos, t_pos, t_ctg = query_flat(
+                    self.index, seqs[a0 : a0 + block])
+                a_glob = rid.astype(np.int64) + a0
+                # each unordered pair is chained once, from the smaller
+                # id (self anchors drop with it; self-rc also skipped)
+                keep = t_ctg > a_glob
+                # best placement per (read, partner) pair, one numpy pass
                 # (t_lo is the exact minimum anchor diagonal, NOT the
                 # quantized bin start — quantization here shifts the DP
                 # window and corrupts overlap ends)
-                bs, t_los = chain_best_per_target(
-                    q_pos, t_pos, t_ctg, min_anchors=cfg.min_anchors)
-                for b, d in zip(bs, t_los):
-                    cands.append((a, int(b), strand, int(d)))
+                a_l, bs, t_los = chain_best_per_pair(
+                    rid[keep], q_pos[keep], t_pos[keep], t_ctg[keep],
+                    n_targets=n, min_anchors=cfg.min_anchors)
+                for al, b, d in zip(a_l, bs, t_los):
+                    cands.append((int(al) + a0, int(b), strand, int(d)))
+        # deterministic order matching the per-read formulation: a, then
+        # strand, then partner (graph construction consumes this order)
+        cands.sort(key=lambda c: (c[0], c[2], c[1]))
         return cands
 
     def compute(self) -> OverlapSet:

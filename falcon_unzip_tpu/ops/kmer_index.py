@@ -206,3 +206,77 @@ def chain_best_per_target(q_pos, t_pos, t_ctg, *, bin_width: int = 64,
     ok = merged[win] >= min_anchors
     win = win[ok]
     return (uniq[win] >> 40), bin_min_diag[win]
+
+
+def query_flat(index: "KmerIndex", seqs: list[np.ndarray]):
+    """Anchors of MANY reads in one vectorized pass.
+
+    Reads are concatenated with one PAD separator (k-mers spanning a
+    boundary contain the PAD and drop as invalid), so kmer_codes +
+    searchsorted + range expansion run once for the whole batch.
+
+    Returns (read_id, q_pos, t_pos, t_ctg) flat arrays.
+    """
+    lens = np.array([len(s) for s in seqs], np.int64)
+    offs = np.zeros(len(seqs) + 1, np.int64)
+    np.cumsum(lens + 1, out=offs[1:])
+    flat = np.full(int(offs[-1]), PAD, np.int8)
+    for i, s in enumerate(seqs):
+        flat[offs[i] : offs[i] + len(s)] = s
+    codes, valid = kmer_codes(flat, index.k)
+    gq_all = np.nonzero(valid)[0]
+    codes = codes[gq_all]
+    lo = np.searchsorted(index.codes, codes, side="left")
+    hi = np.searchsorted(index.codes, codes, side="right")
+    cnt = hi - lo
+    keep = (cnt > 0) & (cnt <= index.max_hits)
+    lo, hi, gq = lo[keep], hi[keep], gq_all[keep]
+    reps = hi - lo
+    total = int(reps.sum())
+    if total == 0:
+        z = np.zeros(0, np.int64)
+        return z.astype(np.int32), z, z, np.zeros(0, np.int32)
+    out_idx = np.repeat(lo, reps) + (
+        np.arange(total) - np.repeat(np.cumsum(reps) - reps, reps))
+    gq_rep = np.repeat(gq, reps)
+    read_id = (np.searchsorted(offs, gq_rep, side="right") - 1).astype(
+        np.int32)
+    q_pos = gq_rep - offs[read_id]
+    return read_id, q_pos, index.pos[out_idx], index.ctg_id[out_idx]
+
+
+def chain_best_per_pair(read_id, q_pos, t_pos, t_ctg, n_targets: int, *,
+                        bin_width: int = 64, min_anchors: int = 4):
+    """Best diagonal bin per (read, target) pair over a flat anchor batch.
+
+    The (read, target)-pair generalization of chain_best_per_target:
+    identical per-pair semantics, one numpy pass for the whole batch.
+    Returns (read_ids, target_ids, t_lo) arrays.  Keys use
+    pair_id * 2^32 + bin, so read_id * n_targets must stay below 2^31
+    (callers block the read axis for larger batches).
+    """
+    if len(q_pos) == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    pair = read_id.astype(np.int64) * n_targets + t_ctg.astype(np.int64)
+    assert pair.max(initial=0) < (1 << 31), "block the read axis"
+    diag = t_pos.astype(np.int64) - q_pos.astype(np.int64)
+    bins = (diag + (1 << 30)) // bin_width
+    key = pair * (1 << 32) + bins
+    uniq, inv, counts = np.unique(key, return_inverse=True,
+                                  return_counts=True)
+    merged = counts.copy()
+    same = (uniq[1:] >> 32) == (uniq[:-1] >> 32)
+    adjacent = (uniq[1:] - uniq[:-1]) == 1
+    nb = same & adjacent
+    merged[1:][nb] += counts[:-1][nb]
+    merged[:-1][nb] += counts[1:][nb]
+    bin_min_diag = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+    np.minimum.at(bin_min_diag, inv, diag)
+    order = np.lexsort((uniq, -merged))
+    pair_of = (uniq >> 32)[order]
+    first = np.unique(pair_of, return_index=True)[1]
+    win = order[first]
+    win = win[merged[win] >= min_anchors]
+    pair_w = uniq[win] >> 32
+    return pair_w // n_targets, pair_w % n_targets, bin_min_diag[win]

@@ -125,3 +125,31 @@ def test_unzip_emits_primary_and_haplotigs(pipeline):
         on1 = any(s <= p < e for hh, s, e in p_spans + h_spans if hh == 1)
         both += on0 and on1
     assert both > 0.8 * len(dip.snp_pos), (both, len(dip.snp_pos))
+
+
+def test_chain_best_per_pair_matches_per_target_loop():
+    """Batched per-pair chaining == the per-read chain_best_per_target."""
+    import numpy as np
+    from falcon_unzip_tpu.ops.kmer_index import (chain_best_per_pair,
+                                                 chain_best_per_target)
+    rng = np.random.default_rng(0)
+    N_READS, N_TGT, N_ANCH = 17, 23, 4000
+    rid = rng.integers(0, N_READS, N_ANCH).astype(np.int32)
+    q_pos = rng.integers(0, 1800, N_ANCH).astype(np.int64)
+    t_pos = rng.integers(0, 2000, N_ANCH).astype(np.int64)
+    t_ctg = rng.integers(0, N_TGT, N_ANCH).astype(np.int32)
+
+    got = set()
+    a_ids, b_ids, t_los = chain_best_per_pair(
+        rid, q_pos, t_pos, t_ctg, n_targets=N_TGT, min_anchors=3)
+    for a, b, d in zip(a_ids, b_ids, t_los):
+        got.add((int(a), int(b), int(d)))
+
+    want = set()
+    for a in range(N_READS):
+        sel = rid == a
+        bs, t_ls = chain_best_per_target(q_pos[sel], t_pos[sel],
+                                         t_ctg[sel], min_anchors=3)
+        for b, d in zip(bs, t_ls):
+            want.add((a, int(b), int(d)))
+    assert got == want and len(got) > 20
