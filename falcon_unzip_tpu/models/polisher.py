@@ -148,20 +148,46 @@ class Polisher:
 
     def _prep_windows(self, template: np.ndarray, aln: AlnSet,
                       ctg_id: int) -> list["_WinState"]:
-        """Vote consensus + read segments for every window of a contig."""
+        """Vote consensus + read segments for every window of a contig.
+
+        The contig-wide vote tensor is scatter-added ONCE and sliced per
+        window (votes are positionwise, so the slice equals the
+        per-window rebuild bit-for-bit); segments slice each record's
+        t_pos-sorted tags with searchsorted instead of re-masking every
+        tag array for every window.
+        """
         cfg = self.cfg
         rec_idx = np.nonzero(aln.ctg == ctg_id)[0]
         t_len = len(template)
         step = cfg.window - cfg.overlap
+
+        votes_full = vote_matrix([aln.tags[a] for a in rec_idx], t_len)
+        rec_start = aln.t_start[rec_idx]
+        rec_end = aln.t_end[rec_idx]
+
         states: list[_WinState] = []
         lo = 0
         while lo < t_len:
             hi = min(t_len, lo + cfg.window)
-            votes = window_votes(aln, rec_idx, lo, hi)
+            votes = votes_full[lo:hi]
             cns, _cov = self._vote_consensus(votes, template[lo:hi])
-            segs = [s for _, s, covers in
-                    window_read_segments(aln, rec_idx, lo, hi,
-                                         full_span_only=True)]
+            segs = []
+            # full-span records only: same predicate window_read_segments
+            # applies on non-gap tag extrema (tmin == t_start,
+            # tmax == t_end - 1 for records starting/ending on matches)
+            cand = np.nonzero((rec_start < hi) & (rec_end > lo))[0]
+            for local in cand:
+                tags = aln.tags[rec_idx[local]]
+                if tags is None or len(tags) == 0:
+                    continue
+                i0, i1 = np.searchsorted(tags[:, 0], (lo, hi))
+                st = tags[i0:i1]
+                m = st[:, 2] < 4
+                if not m.any():
+                    continue
+                inw = st[m]
+                if int(inw[0, 0]) <= lo + 2 and int(inw[-1, 0]) >= hi - 3:
+                    segs.append(inw[:, 2].astype(np.int8))
             active = (cfg.arrow_rounds > 0 and len(segs) >= cfg.min_cov
                       and len(cns) > 0)
             states.append(_WinState(cns=cns, votes=votes, segs=segs,
