@@ -67,8 +67,11 @@ class PolishCfg:
     overlap: int = 64
     min_cov: int = 3
     arrow_rounds: int = 1
+    arrow_candidates: int = 4    # low-margin columns tested per round
+    margin_frac: float = 0.7
     hmm_band: int = 48
-    use_pallas: bool = True      # TPU path for the HMM scorer
+    score_batch: int = 8192      # (variant, read) pairs per dispatch
+    use_pallas: bool = True      # TPU path for the HMM scorer (auto)
 
 
 @dataclasses.dataclass

@@ -108,7 +108,12 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
         polisher = Polisher(PolisherConfig(
             window=cfg.polish.window, overlap=cfg.polish.overlap,
             min_cov=cfg.polish.min_cov, arrow_rounds=cfg.polish.arrow_rounds,
-            hmm_band=cfg.polish.hmm_band), scorer=scorer)
+            arrow_candidates=cfg.polish.arrow_candidates,
+            margin_frac=cfg.polish.margin_frac,
+            hmm_band=cfg.polish.hmm_band,
+            score_batch=cfg.polish.score_batch,
+            use_pallas=None if cfg.polish.use_pallas else False),
+            scorer=scorer)
         polished = polisher.polish_all(list(zip(names, contigs)), get_aln())
         p_out = [c for i, c in enumerate(polished) if i < n_primary]
         h_out = [c for i, c in enumerate(polished) if i >= n_primary]
