@@ -282,7 +282,9 @@ class BandedAligner:
     def _pallas_call(self, q, t, n, m, Lq, Lt, Dmax):
         from .pallas_align import pallas_banded_align
         P = q.shape[0]
-        PB = 128 if P >= 128 else -(-P // 8) * 8
+        # bigger blocks amortize the per-antidiagonal step cost (measured:
+        # 4x pairs cost ~1.1x wall at these shapes)
+        PB = 256 if P % 256 == 0 else (128 if P >= 128 else -(-P // 8) * 8)
         pad = (-P) % PB
         if pad:
             q = np.concatenate([q, np.tile(q[-1:], (pad, 1))])
