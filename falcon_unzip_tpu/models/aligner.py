@@ -107,6 +107,11 @@ class ReadToContigAligner:
             buckets.setdefault((bq, bt), []).append(ji)
 
         aligner = self._aligner()
+        # two-phase async: dispatch every chunk's device program first
+        # (uploads/kernels/downloads of consecutive chunks overlap), then
+        # collect in order — one pipeline instead of a blocking round trip
+        # per chunk
+        pending = []  # (chunk, n_real, handle)
         for (bq, bt), jidx in sorted(buckets.items()):
             for s in range(0, len(jidx), cfg.batch_pairs):
                 chunk = jidx[s : s + cfg.batch_pairs]
@@ -129,7 +134,11 @@ class ReadToContigAligner:
                     ta[pi, : hi - lo] = self.contigs[ctg][lo:hi]
                     nn[pi] = len(q)
                     mm[pi] = hi - lo
-                res = aligner(qa, ta, nn, mm, want_moves=True)
+                pending.append((chunk, n_real,
+                                aligner.dispatch(qa, ta, nn, mm,
+                                                 want_moves=True)))
+        for chunk, n_real, handle in pending:
+                res = aligner.collect(handle)
                 for pi, ji in enumerate(chunk[:n_real]):
                     rid, strand, ctg, lo, hi, q = jobs[ji]
                     moves = res["moves"][pi]

@@ -64,6 +64,9 @@ class FalconSense:
         for ji, (lo, hi, r) in enumerate(jobs):
             buckets.setdefault((_bucket(len(r)), _bucket(hi - lo)),
                                []).append(ji)
+        # two-phase async: dispatch all chunks, then collect (see
+        # models.aligner — avoids one blocking device round trip per chunk)
+        pending = []  # (chunk, handle)
         for (bq, bt), jidx in sorted(buckets.items()):
             for s in range(0, len(jidx), cfg.batch_pairs):
                 chunk = jidx[s : s + cfg.batch_pairs]
@@ -78,7 +81,11 @@ class FalconSense:
                     ta[pi, : hi - lo] = template[lo:hi]
                     nn[pi] = len(r)
                     mm[pi] = hi - lo
-                res = self._aligner(qa, ta, nn, mm, want_moves=True)
+                pending.append((chunk,
+                                self._aligner.dispatch(qa, ta, nn, mm,
+                                                       want_moves=True)))
+        for chunk, handle in pending:
+                res = self._aligner.collect(handle)
                 for pi, ji in enumerate(chunk):
                     lo, hi, r = jobs[ji]
                     moves = res["moves"][pi]

@@ -140,6 +140,9 @@ class PreadOverlapper:
             bq = _bucket(len(j[7]))
             bt = _bucket(len(j[8]))
             buckets.setdefault((bq, bt), []).append(ji)
+        # two-phase async: dispatch all chunks, then collect (see
+        # models.aligner — avoids one blocking device round trip per chunk)
+        pending = []  # (chunk, n_real, handle)
         for (bq, bt), jidx in sorted(buckets.items()):
             for s in range(0, len(jidx), cfg.batch_pairs):
                 chunk = jidx[s : s + cfg.batch_pairs]
@@ -162,7 +165,11 @@ class PreadOverlapper:
                     ta[pi, : len(t)] = t
                     nn[pi] = len(q)
                     mm[pi] = len(t)
-                res = aligner(qa, ta, nn, mm, want_moves=True)
+                pending.append((chunk, n_real,
+                                aligner.dispatch(qa, ta, nn, mm,
+                                                 want_moves=True)))
+        for chunk, n_real, handle in pending:
+                res = aligner.collect(handle)
                 for pi, ji in enumerate(chunk[:n_real]):
                     a, b, strand, a_lo, ov, t_lo, t_hi, q, t = jobs[ji]
                     dist = int(res["dist"][pi])

@@ -205,6 +205,28 @@ def moves_forward(moves_rev: np.ndarray) -> list[np.ndarray]:
     return out
 
 
+@jax.jit
+def pack_moves2(moves: jnp.ndarray) -> jnp.ndarray:
+    """(P, S) int8 moves (values 0..3) -> (P, ceil(S/16)) int32, 2 bits
+    per move.  Shrinks the device->host transfer 4x (the tunnel RPC is
+    latency/bandwidth bound, not compute bound)."""
+    P, S = moves.shape
+    S16 = -(-S // 16) * 16
+    m = jnp.pad(moves.astype(jnp.int32) & 3, ((0, 0), (0, S16 - S)),
+                constant_values=MOVE_NONE)
+    m = m.reshape(P, S16 // 16, 16)
+    shifts = (2 * jnp.arange(16, dtype=jnp.int32))[None, None, :]
+    return jnp.sum(m << shifts, axis=-1).astype(jnp.int32)
+
+
+def unpack_moves2(packed: np.ndarray, S: int) -> np.ndarray:
+    """Inverse of pack_moves2 on host: (P, S16/16) int32 -> (P, S) int8."""
+    p = np.asarray(packed)
+    shifts = (2 * np.arange(16, dtype=np.int32))[None, None, :]
+    m = (p[:, :, None] >> shifts) & 3
+    return m.reshape(p.shape[0], -1)[:, :S].astype(np.int8)
+
+
 def moves_to_tags_vec(q: np.ndarray, moves: np.ndarray,
                       t_offset: int = 0) -> np.ndarray:
     """Vectorized numpy tags from forward moves (spec: oracle.moves_to_tags)."""
@@ -260,6 +282,19 @@ class BandedAligner:
                  n: np.ndarray, m: np.ndarray, want_moves: bool = True):
         """q (P, Lq), t (P, Lt) int8; n, m true lengths. Returns dict of
         numpy arrays: dist, end_i, end_j [, moves list of forward arrays]."""
+        return self.collect(self.dispatch(q, t, n, m, want_moves=want_moves))
+
+    def dispatch(self, q: np.ndarray, t: np.ndarray,
+                 n: np.ndarray, m: np.ndarray, want_moves: bool = True):
+        """Issue the device program WITHOUT blocking on results.
+
+        JAX dispatch is async, so callers batching many chunks should
+        dispatch them all first and then ``collect`` in order — uploads,
+        kernels and downloads of consecutive chunks overlap instead of
+        paying a full device round trip per chunk (decisive when the
+        device sits behind a high-latency tunnel).  The handle holds only
+        small per-pair scalars plus 2-bit packed traceback moves; the big
+        (Dmax, P, W) backpointer tensor is consumed on device here."""
         P, Lq = q.shape
         Lt = t.shape[1]
         Dmax, lo = build_schedule(Lq, Lt, self.W)
@@ -271,12 +306,22 @@ class BandedAligner:
                 jnp.asarray(qg), jnp.asarray(trg),
                 jnp.asarray(n), jnp.asarray(m), jnp.asarray(lo),
                 W=self.W, Lt=Lt, G=G, mode=self.mode, want_bp=want_moves)
-        out = {k: np.asarray(v) for k, v in res.items() if k != "bp"}
+        handle = {"res": {k: v for k, v in res.items() if k != "bp"},
+                  "steps": Lq + Lt, "packed": None}
         if want_moves:
             moves_rev = traceback_batch(
                 res["bp"], jnp.asarray(lo),
                 res["end_i"], res["end_j"], max_steps=Lq + Lt)
-            out["moves"] = moves_forward(np.asarray(moves_rev))
+            handle["packed"] = pack_moves2(moves_rev)
+        return handle
+
+    def collect(self, handle) -> dict:
+        """Materialize a ``dispatch`` handle as numpy (blocks)."""
+        out = {k: np.asarray(v) for k, v in handle["res"].items()}
+        if handle["packed"] is not None:
+            moves_rev = unpack_moves2(np.asarray(handle["packed"]),
+                                      handle["steps"])
+            out["moves"] = moves_forward(moves_rev)
         return out
 
     def _pallas_call(self, q, t, n, m, Lq, Lt, Dmax):
