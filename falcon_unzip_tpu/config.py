@@ -66,7 +66,7 @@ class PolishCfg:
     window: int = 384
     overlap: int = 64
     min_cov: int = 3
-    arrow_rounds: int = 1
+    arrow_rounds: int = 6        # max rounds; windows stop at convergence
     arrow_candidates: int = 4    # low-margin columns tested per round
     margin_frac: float = 0.7
     hmm_band: int = 48

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..seq import PAD, SeqBatch, revcomp
 from ..ops.banded_align import BandedAligner, moves_to_tags_vec
-from ..ops.kmer_index import KmerIndex, seed_read
+from ..ops.kmer_index import KmerIndex, seed_batch, seed_read
 
 
 @dataclasses.dataclass
@@ -77,23 +77,42 @@ class ReadToContigAligner:
 
     def align_batch(self, reads: SeqBatch) -> AlnSet:
         cfg = self.cfg
-        # 1) seed + chain every read (host)
+        # 1) seed + chain every read (host, one vectorized pass for the
+        #    whole batch when a single placement per read is kept —
+        #    byte-identical to the per-read seed_read loop, which remains
+        #    the fallback for max_hits_per_read > 1)
         jobs = []  # (read_id, strand, ctg, win_lo, win_hi, q int8 array)
-        for rid in range(len(reads)):
-            r = reads.row(rid)
-            if len(r) < cfg.k:
-                continue
-            hits = seed_read(self.index, r,
-                             min_anchors=cfg.min_anchors,
-                             max_hits_per_read=cfg.max_hits_per_read)
-            for h in hits[: cfg.max_hits_per_read]:
-                ctg = self.contigs[h.ctg]
-                lo = max(0, h.t_lo - cfg.window_pad)
-                hi = min(len(ctg), h.t_hi + cfg.window_pad)
+        if cfg.max_hits_per_read == 1:
+            seqs = [reads.row(i) for i in range(len(reads))]
+            strand, ctg_a, score, d_min, d_max = seed_batch(
+                self.index, seqs, min_anchors=cfg.min_anchors)
+            for rid in np.nonzero(score >= 0)[0]:
+                r = seqs[rid]
+                ctg = self.contigs[ctg_a[rid]]
+                lo = max(0, int(d_min[rid]) - cfg.window_pad)
+                hi = min(len(ctg),
+                         int(d_max[rid]) + len(r) + cfg.k + cfg.window_pad)
                 if hi - lo < cfg.k:
                     continue
-                q = r if h.strand == 0 else revcomp(r)
-                jobs.append((rid, h.strand, h.ctg, lo, hi, q))
+                q = r if strand[rid] == 0 else revcomp(r)
+                jobs.append((int(rid), int(strand[rid]), int(ctg_a[rid]),
+                             lo, hi, q))
+        else:
+            for rid in range(len(reads)):
+                r = reads.row(rid)
+                if len(r) < cfg.k:
+                    continue
+                hits = seed_read(self.index, r,
+                                 min_anchors=cfg.min_anchors,
+                                 max_hits_per_read=cfg.max_hits_per_read)
+                for h in hits[: cfg.max_hits_per_read]:
+                    ctg = self.contigs[h.ctg]
+                    lo = max(0, h.t_lo - cfg.window_pad)
+                    hi = min(len(ctg), h.t_hi + cfg.window_pad)
+                    if hi - lo < cfg.k:
+                        continue
+                    q = r if h.strand == 0 else revcomp(r)
+                    jobs.append((rid, h.strand, h.ctg, lo, hi, q))
 
         # 2) bucket jobs by padded shapes and run the device DP
         out = {k: [] for k in

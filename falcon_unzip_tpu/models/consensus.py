@@ -16,9 +16,9 @@ import dataclasses
 import numpy as np
 
 from ..seq import PAD, SeqBatch
-from ..oracle.consensus import consensus_from_votes, vote_matrix
+from ..ops.consensus import consensus_from_votes, vote_matrix
 from ..ops.banded_align import BandedAligner, moves_to_tags_vec
-from ..ops.kmer_index import KmerIndex, seed_read
+from ..ops.kmer_index import KmerIndex, seed_batch
 
 
 @dataclasses.dataclass
@@ -44,20 +44,19 @@ class FalconSense:
         template = np.asarray(template, dtype=np.int8)
         index = KmerIndex.build([template], k=cfg.k)
 
+        seqs = [np.asarray(r, dtype=np.int8) for r in reads]
+        strand, _ctg, score, d_min, d_max = seed_batch(index, seqs)
         jobs = []
-        for r in reads:
-            r = np.asarray(r, dtype=np.int8)
-            if len(r) < cfg.k:
-                continue
-            hits = seed_read(index, r, max_hits_per_read=1)
-            for h in hits[:1]:
-                if h.strand == 1:
-                    from ..seq import revcomp
-                    r = revcomp(r)
-                lo = max(0, h.t_lo - cfg.window_pad)
-                hi = min(len(template), h.t_hi + cfg.window_pad)
-                if hi - lo >= cfg.k:
-                    jobs.append((lo, hi, r))
+        for ri in np.nonzero(score >= 0)[0]:
+            r = seqs[ri]
+            if strand[ri] == 1:
+                from ..seq import revcomp
+                r = revcomp(r)
+            lo = max(0, int(d_min[ri]) - cfg.window_pad)
+            hi = min(len(template),
+                     int(d_max[ri]) + len(r) + cfg.k + cfg.window_pad)
+            if hi - lo >= cfg.k:
+                jobs.append((lo, hi, r))
 
         tags_list = []
         buckets: dict[tuple[int, int], list[int]] = {}

@@ -42,22 +42,21 @@ class ContigPhasing:
 def flat_delta0_tags(aln: AlnSet, rec_idx: np.ndarray):
     """Concatenate delta-0 tags of the given aln records into flat arrays.
 
-    Returns (row, pos, base): row indexes into rec_idx order.
+    Returns (row, pos, base): row indexes into rec_idx order.  One
+    concatenation + one vectorized delta mask for the whole record set
+    (this feeds every pileup; a per-record mask loop dominated host time
+    at >100kb scale).
     """
-    rows, poss, bases = [], [], []
-    for local, a in enumerate(rec_idx):
-        tags = aln.tags[a]
-        if tags is None or len(tags) == 0:
-            continue
-        d0 = tags[tags[:, 1] == 0]
-        rows.append(np.full(len(d0), local, np.int32))
-        poss.append(d0[:, 0].astype(np.int32))
-        bases.append(d0[:, 2].astype(np.int32))
-    if not rows:
+    tags_l = [aln.tags[a] for a in rec_idx]
+    lens = np.array([0 if t is None else len(t) for t in tags_l], np.int64)
+    if lens.sum() == 0:
         z = np.zeros(0, np.int32)
         return z, z, z
-    return (np.concatenate(rows), np.concatenate(poss),
-            np.concatenate(bases))
+    cat = np.concatenate([t for t in tags_l if t is not None and len(t)])
+    rows = np.repeat(np.arange(len(rec_idx), dtype=np.int32), lens)
+    d0 = cat[:, 1] == 0
+    return (rows[d0], cat[d0, 0].astype(np.int32),
+            cat[d0, 2].astype(np.int32))
 
 
 def phase_contig_device(aln: AlnSet, ctg: int, t_len: int,

@@ -245,6 +245,81 @@ def query_flat(index: "KmerIndex", seqs: list[np.ndarray]):
     return read_id, q_pos, index.pos[out_idx], index.ctg_id[out_idx]
 
 
+def chain_best_per_read(read_id, q_pos, t_pos, t_ctg, n_targets: int, *,
+                        bin_width: int = 64, min_anchors: int = 4):
+    """Winning (ctg, diag-bin) per READ over a flat anchor batch.
+
+    Matches chain_diag_bins(max_hits_per_read=1) per read: bins keyed by
+    (ctg, diag // bin_width), neighbor-bin votes merged, winner = highest
+    merged votes with ties to the smaller (ctg, bin) key.  Returns
+    (read_ids, ctgs, score, d_min, d_max) where d_min/d_max are the
+    min/max anchor diagonal WITHIN the winning bin (not its neighbors) —
+    the same t_lo / t_hi - read_len - k window chain_diag_bins derives.
+    """
+    z = np.zeros(0, np.int64)
+    if len(q_pos) == 0:
+        return z, z, z, z, z
+    pair = read_id.astype(np.int64) * n_targets + t_ctg.astype(np.int64)
+    assert pair.max(initial=0) < (1 << 31), "block the read axis"
+    diag = t_pos.astype(np.int64) - q_pos.astype(np.int64)
+    bins = (diag + (1 << 30)) // bin_width
+    key = pair * (1 << 32) + bins
+    uniq, inv, counts = np.unique(key, return_inverse=True,
+                                  return_counts=True)
+    merged = counts.copy()
+    same = (uniq[1:] >> 32) == (uniq[:-1] >> 32)
+    adjacent = (uniq[1:] - uniq[:-1]) == 1
+    nb = same & adjacent
+    merged[1:][nb] += counts[:-1][nb]
+    merged[:-1][nb] += counts[1:][nb]
+    bin_min = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+    bin_max = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+    np.minimum.at(bin_min, inv, diag)
+    np.maximum.at(bin_max, inv, diag)
+    order = np.lexsort((uniq, -merged))
+    read_of = (uniq >> 32)[order] // n_targets
+    first = np.unique(read_of, return_index=True)[1]
+    win = order[first]
+    win = win[merged[win] >= min_anchors]
+    pair_w = uniq[win] >> 32
+    return (pair_w // n_targets, pair_w % n_targets, merged[win],
+            bin_min[win], bin_max[win])
+
+
+def seed_batch(index: "KmerIndex", seqs: list[np.ndarray], *,
+               min_anchors: int = 4, bin_width: int = 64):
+    """Best single placement per read across BOTH strands, one numpy pass
+    per (strand, block) instead of a per-read seed_read loop.
+
+    Selection matches seed_read(..., max_hits_per_read=1): per strand the
+    chain_diag_bins winner, then the higher-score strand (ties -> fwd).
+    Returns columnar int64 arrays (strand, ctg, score, d_min, d_max) of
+    length len(seqs); score == -1 marks unseeded reads.
+    """
+    n = len(seqs)
+    n_t = len(index.ctg_starts) - 1
+    best = {k: np.full(n, -1, np.int64)
+            for k in ("strand", "ctg", "score", "d_min", "d_max")}
+    block = max(1, min(n, 4096, (1 << 31) // max(n_t, 1) - 1))
+    for strand in (0, 1):
+        ss = seqs if strand == 0 else [revcomp(s) for s in seqs]
+        for a0 in range(0, n, block):
+            rid, qp, tp, tc = query_flat(index, ss[a0 : a0 + block])
+            r, c, sc, dmin, dmax = chain_best_per_read(
+                rid, qp, tp, tc, n_t,
+                bin_width=bin_width, min_anchors=min_anchors)
+            r = r + a0
+            upd = sc > best["score"][r]         # strict: fwd wins ties
+            ru = r[upd]
+            best["strand"][ru] = strand
+            best["ctg"][ru] = c[upd]
+            best["score"][ru] = sc[upd]
+            best["d_min"][ru] = dmin[upd]
+            best["d_max"][ru] = dmax[upd]
+    return (best["strand"], best["ctg"], best["score"],
+            best["d_min"], best["d_max"])
+
+
 def chain_best_per_pair(read_id, q_pos, t_pos, t_ctg, n_targets: int, *,
                         bin_width: int = 64, min_anchors: int = 4):
     """Best diagonal bin per (read, target) pair over a flat anchor batch.

@@ -59,3 +59,88 @@ def test_qv_emitted(polish_setup):
     out = pol.polish_contig("ctg0", draft, aln, 0)
     assert len(out.qv) == len(out.seq)
     assert out.qv.mean() > 10
+
+
+def _window_setup(n_sub=2, n_indel=1, seed=60, cov=14, L=384):
+    """A single window whose draft carries clustered sub+indel errors that
+    one vote pass cannot fully fix (low-coverage ambiguity injected by
+    splitting reads between two alleles at one column)."""
+    rng = np.random.default_rng(seed)
+    truth = random_genome(L, seed)
+    draft = truth.copy()
+    pos = np.sort(rng.choice(np.arange(40, L - 40), size=n_sub + n_indel,
+                             replace=False))
+    for p in pos[:n_sub]:
+        draft[p] = (draft[p] + 1) % 4
+    dels = pos[n_sub:]
+    draft = np.delete(draft, dels)          # deletion errors in the draft
+    reads = [mutate_read(truth, 0.05, rng) for _ in range(cov)]
+    return truth, draft, reads
+
+
+def test_arrow_converges_on_multi_error_window():
+    """2 subs + 1 deletion in one window: one round is not enough; the
+    convergence loop recovers the exact truth (VERDICT.md missing #3)."""
+    from falcon_unzip_tpu.seq import SeqBatch
+    truth, draft, reads = _window_setup()
+    batch = SeqBatch.from_strs(reads, names=[f"r{i}" for i in range(len(reads))])
+    al = ReadToContigAligner([draft])
+    aln = al.align_batch(batch)
+    # force mutation testing to do the work: min_cov high enough that the
+    # vote consensus keeps draft bases at every column (margin_frac=1.01
+    # marks every covered column low-margin, so candidates always exist)
+    cfg = PolisherConfig(window=512, arrow_rounds=8, arrow_candidates=8,
+                         margin_frac=0.9)
+    out = Polisher(cfg).polish_contig("w", draft, aln, 0)
+    assert np.array_equal(out.seq, truth), (
+        len(out.seq), len(truth),
+        int((out.seq[: len(truth)] != truth[: len(out.seq)]).sum()
+            if len(out.seq) == len(truth) else -1))
+
+
+def test_arrow_matches_window_oracle():
+    """Production greedy loop == oracle.polish_window_oracle decisions on
+    a small window (same candidates, same full-HMM scorer)."""
+    from falcon_unzip_tpu.models import polisher as MP
+    from falcon_unzip_tpu.oracle.hmm import (HMMParams, forward_full,
+                                             polish_window_oracle)
+    rng = np.random.default_rng(7)
+    truth = random_genome(48, 7)
+    draft = truth.copy()
+    draft[10] = (draft[10] + 1) % 4
+    draft[30] = (draft[30] + 2) % 4
+    reads = [mutate_read(truth, 0.03, rng) for _ in range(8)]
+
+    class FullScorer:
+        def __call__(self, q, t, n, m):
+            return np.array([forward_full(q[i, : n[i]], t[i, : m[i]])
+                             for i in range(len(n))], np.float32)
+
+    cand = [10, 30]
+    ref = polish_window_oracle(draft, reads, cand, max_rounds=8)
+
+    st = MP._WinState(cns=draft.copy(), votes=np.zeros((48, 9, 5), np.int32),
+                      segs=reads, active=True, cand=list(cand))
+    pol = Polisher(PolisherConfig(arrow_rounds=8, use_pallas=False),
+                   scorer=FullScorer())
+    pol._refine_windows([st])
+    assert np.array_equal(st.cns, ref)
+    assert np.array_equal(st.cns, truth)
+
+
+def test_margin_qv_overrides():
+    """Mutation-tested columns get likelihood-margin QVs."""
+    from falcon_unzip_tpu.seq import SeqBatch
+    truth, draft, reads = _window_setup(n_sub=1, n_indel=0, seed=61)
+    batch = SeqBatch.from_strs(reads, names=[f"r{i}" for i in range(len(reads))])
+    aln = ReadToContigAligner([draft]).align_batch(batch)
+    # margin_frac > 1 marks every covered column low-margin, forcing
+    # mutation tests (and hence margin QVs) even on a clean consensus
+    cfg = PolisherConfig(window=512, arrow_rounds=4, margin_frac=1.01)
+    pol = Polisher(cfg)
+    states = pol._prep_windows(draft, aln, 0)
+    pol._refine_windows(states)
+    tested = [st for st in states if st.qv_pos]
+    assert tested, "no window recorded margin QVs"
+    for st in tested:
+        assert all(2 <= v <= 60 for v in st.qv_val)
