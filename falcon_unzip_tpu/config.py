@@ -50,6 +50,12 @@ class OverlapCfg:
     min_overlap: int = 500
     min_identity: float = 0.70
     end_fuzz: int = 60
+    # falcon coverage filters (fc_ovlp_filter knobs carried into
+    # ovlp_filter_with_phase); 0 disables the corresponding filter
+    max_diff: int = 100          # |left - right| end coverage asymmetry
+    max_cov: int = 300           # repeat suppression
+    min_cov: int = 1             # chimera suppression
+    bestn: int = 10              # longest-n overlaps per (read, end)
 
 
 @dataclasses.dataclass
@@ -68,6 +74,7 @@ class PolishCfg:
     min_cov: int = 3
     arrow_rounds: int = 6        # max rounds; windows stop at convergence
     arrow_candidates: int = 4    # low-margin columns tested per round
+    arrow_min_cov: int = 5       # full-span reads gating mutation testing
     margin_frac: float = 0.7
     hmm_band: int = 48
     score_batch: int = 8192      # (variant, read) pairs per dispatch

@@ -18,7 +18,8 @@ import dataclasses
 import numpy as np
 
 from ..seq import PAD, SeqBatch, revcomp
-from ..ops.banded_align import BandedAligner, moves_to_tags_vec
+from ..ops.banded_align import (BandedAligner, anchor_trim,
+                                moves_to_tags_vec)
 from ..ops.kmer_index import KmerIndex, seed_batch, seed_read
 
 
@@ -58,6 +59,29 @@ class AlignerConfig:
     max_hits_per_read: int = 1   # placements kept per read
     min_identity: float = 0.65
     batch_pairs: int = 256        # device batch size
+    anchor_k: int = 8             # exact-match run anchoring both aln ends
+
+
+def clip_query_overhang(q: np.ndarray, d0: int, d1: int, t_len: int,
+                        pad: int) -> tuple[np.ndarray, int]:
+    """Pre-DP soft clip of query bases hanging past the target's ends.
+
+    Seed diagonals place the read's span on the target at roughly
+    [d0, d1 + len(q)).  Bases beyond [0, t_len) cannot be placed by the
+    slope-1/2 banded DP — a long overhang drifts out of the band and
+    smears garbage tags over the contig's terminal columns — so they are
+    clipped BEFORE alignment (blasr soft-clip semantics, [U] SURVEY.md
+    §2b blasr row), keeping `pad` bases of slack for chaining error.
+    Returns (q_slice, q_lo); the residual <= pad overhang comes out of
+    the DP as up-runs and is trimmed by ops.banded_align.soft_clip_ups.
+    """
+    q_lo = max(0, -int(d0) - pad)
+    q_hi = max(0, int(d1) + len(q) - t_len - pad)
+    if q_lo + q_hi >= len(q):
+        return q[:0], 0
+    if q_lo or q_hi:
+        return q[q_lo : len(q) - q_hi], q_lo
+    return q, 0
 
 
 class ReadToContigAligner:
@@ -89,12 +113,17 @@ class ReadToContigAligner:
             for rid in np.nonzero(score >= 0)[0]:
                 r = seqs[rid]
                 ctg = self.contigs[ctg_a[rid]]
-                lo = max(0, int(d_min[rid]) - cfg.window_pad)
+                q = r if strand[rid] == 0 else revcomp(r)
+                d0, d1 = int(d_min[rid]), int(d_max[rid])
+                q, q_lo = clip_query_overhang(q, d0, d1, len(ctg),
+                                              cfg.window_pad)
+                if len(q) < cfg.k:
+                    continue
+                lo = max(0, d0 + q_lo - cfg.window_pad)
                 hi = min(len(ctg),
-                         int(d_max[rid]) + len(r) + cfg.k + cfg.window_pad)
+                         d1 + q_lo + len(q) + cfg.k + cfg.window_pad)
                 if hi - lo < cfg.k:
                     continue
-                q = r if strand[rid] == 0 else revcomp(r)
                 jobs.append((int(rid), int(strand[rid]), int(ctg_a[rid]),
                              lo, hi, q))
         else:
@@ -107,11 +136,18 @@ class ReadToContigAligner:
                                  max_hits_per_read=cfg.max_hits_per_read)
                 for h in hits[: cfg.max_hits_per_read]:
                     ctg = self.contigs[h.ctg]
-                    lo = max(0, h.t_lo - cfg.window_pad)
-                    hi = min(len(ctg), h.t_hi + cfg.window_pad)
+                    q = r if h.strand == 0 else revcomp(r)
+                    d0 = h.t_lo
+                    d1 = h.t_hi - len(r) - cfg.k
+                    q, q_lo = clip_query_overhang(q, d0, d1, len(ctg),
+                                                  cfg.window_pad)
+                    if len(q) < cfg.k:
+                        continue
+                    lo = max(0, d0 + q_lo - cfg.window_pad)
+                    hi = min(len(ctg),
+                             d1 + q_lo + len(q) + cfg.k + cfg.window_pad)
                     if hi - lo < cfg.k:
                         continue
-                    q = r if h.strand == 0 else revcomp(r)
                     jobs.append((rid, h.strand, h.ctg, lo, hi, q))
 
         # 2) bucket jobs by padded shapes and run the device DP
@@ -160,16 +196,21 @@ class ReadToContigAligner:
                 res = aligner.collect(handle)
                 for pi, ji in enumerate(chunk[:n_real]):
                     rid, strand, ctg, lo, hi, q = jobs[ji]
-                    moves = res["moves"][pi]
-                    dist = int(res["dist"][pi])
-                    end_j = int(res["end_j"][pi])
-                    n_diag = int((moves == 0).sum())
-                    n_left = int((moves == 2).sum())
-                    start_j = end_j - (n_diag + n_left)
+                    # anchor both alignment ends on exact k-runs: smeared
+                    # free-end tails (query overhang / read-end errors)
+                    # emit no tags and no edits
+                    cl = anchor_trim(q, self.contigs[ctg][lo:hi],
+                                     res["moves"][pi],
+                                     int(res["end_j"][pi]),
+                                     k=cfg.anchor_k)
+                    if cl is None:
+                        continue
+                    start_j, end_j = cl["start_j"], cl["end_j"]
+                    dist = cl["dist"]
                     span = max(end_j - start_j, 1)
                     if 1.0 - dist / span < cfg.min_identity:
                         continue
-                    tags = moves_to_tags_vec(q[: len(q)], moves,
+                    tags = moves_to_tags_vec(cl["q"], cl["moves"],
                                              t_offset=lo + start_j)
                     out["read_id"].append(rid)
                     out["ctg"].append(ctg)

@@ -17,7 +17,8 @@ import numpy as np
 
 from ..seq import PAD, SeqBatch
 from ..ops.consensus import consensus_from_votes, vote_matrix
-from ..ops.banded_align import BandedAligner, moves_to_tags_vec
+from ..ops.banded_align import (BandedAligner, anchor_trim,
+                                moves_to_tags_vec)
 from ..ops.kmer_index import KmerIndex, seed_batch
 
 
@@ -29,6 +30,7 @@ class ConsensusConfig:
     min_idt: float = 0.7
     batch_pairs: int = 64
     window_pad: int = 48
+    anchor_k: int = 8            # exact-match run anchoring both aln ends
 
 
 class FalconSense:
@@ -44,6 +46,7 @@ class FalconSense:
         template = np.asarray(template, dtype=np.int8)
         index = KmerIndex.build([template], k=cfg.k)
 
+        from .aligner import clip_query_overhang
         seqs = [np.asarray(r, dtype=np.int8) for r in reads]
         strand, _ctg, score, d_min, d_max = seed_batch(index, seqs)
         jobs = []
@@ -52,9 +55,14 @@ class FalconSense:
             if strand[ri] == 1:
                 from ..seq import revcomp
                 r = revcomp(r)
-            lo = max(0, int(d_min[ri]) - cfg.window_pad)
+            d0, d1 = int(d_min[ri]), int(d_max[ri])
+            r, q_lo = clip_query_overhang(r, d0, d1, len(template),
+                                          cfg.window_pad)
+            if len(r) < cfg.k:
+                continue
+            lo = max(0, d0 + q_lo - cfg.window_pad)
             hi = min(len(template),
-                     int(d_max[ri]) + len(r) + cfg.k + cfg.window_pad)
+                     d1 + q_lo + len(r) + cfg.k + cfg.window_pad)
             if hi - lo >= cfg.k:
                 jobs.append((lo, hi, r))
 
@@ -87,17 +95,18 @@ class FalconSense:
                 res = self._aligner.collect(handle)
                 for pi, ji in enumerate(chunk):
                     lo, hi, r = jobs[ji]
-                    moves = res["moves"][pi]
-                    dist = int(res["dist"][pi])
-                    end_j = int(res["end_j"][pi])
-                    nd = int((moves == 0).sum())
-                    nl = int((moves == 2).sum())
-                    start_j = end_j - (nd + nl)
-                    span = max(end_j - start_j, 1)
-                    if 1.0 - dist / span < cfg.min_idt:
+                    # anchor both alignment ends (see models.aligner)
+                    cl = anchor_trim(r, template[lo:hi], res["moves"][pi],
+                                     int(res["end_j"][pi]),
+                                     k=cfg.anchor_k)
+                    if cl is None:
+                        continue
+                    span = max(cl["end_j"] - cl["start_j"], 1)
+                    if 1.0 - cl["dist"] / span < cfg.min_idt:
                         continue
                     tags_list.append(moves_to_tags_vec(
-                        r, moves, t_offset=lo + start_j))
+                        cl["q"], cl["moves"],
+                        t_offset=lo + cl["start_j"]))
 
         votes = vote_matrix(tags_list, len(template))
         cns, _ = consensus_from_votes(votes, template, min_cov=cfg.min_cov)

@@ -37,6 +37,10 @@ class PolisherConfig:
     arrow_rounds: int = 6        # max mutation rounds (0 = vote only);
                                  # windows stop early at convergence
     arrow_candidates: int = 4    # max low-margin columns tested per round
+    arrow_min_cov: int = 5       # full-span reads required before mutation
+                                 # testing fires (below it, 2-3 correlated
+                                 # read errors can outvote the truth —
+                                 # GenomicConsensus gates arrow the same way)
     margin_frac: float = 0.7     # vote winner fraction below which to test
     hmm_band: int = 48
     use_pallas: bool | None = None   # None = auto (TPU + aligned band)
@@ -204,8 +208,8 @@ class Polisher:
                 inw = st[m]
                 if int(inw[0, 0]) <= lo + 2 and int(inw[-1, 0]) >= hi - 3:
                     segs.append(inw[:, 2].astype(np.int8))
-            active = (cfg.arrow_rounds > 0 and len(segs) >= cfg.min_cov
-                      and len(cns) > 0)
+            active = (cfg.arrow_rounds > 0 and len(cns) > 0
+                      and len(segs) >= max(cfg.min_cov, cfg.arrow_min_cov))
             cand = (self._candidates(cns, votes, cns_of_t)
                     if active else [])
             states.append(_WinState(cns=cns, votes=votes, segs=segs,

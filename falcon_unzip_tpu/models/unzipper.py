@@ -35,22 +35,117 @@ class OvlpFilterConfig:
     min_overlap: int = 500
     min_identity: float = 0.70
     fuzz: int = 60
+    # standard falcon coverage filters ([U] ovlp_filter_with_phase carries
+    # falcon's max_diff/max_cov/min_cov/bestn — SURVEY.md §2a row).  A read
+    # whose end coverage violates these loses ALL its overlaps (repeat /
+    # chimera suppression); bestn keeps the longest n overlaps per
+    # (read, end).  0 disables the corresponding filter.
+    max_diff: int = 100          # |left_cov - right_cov| above this -> drop
+    max_cov: int = 300           # end coverage above this -> repeat, drop
+    min_cov: int = 1             # end coverage below this -> chimera, drop
+    bestn: int = 10              # longest-n overlaps kept per (read, end)
+
+
+def _end_flags(ovl: OverlapSet, fuzz: int):
+    """Forward-strand end-coverage flags per overlap for reads a and b.
+
+    b's match-orientation coordinates flip ends when strand == 1.
+    Returns (a_left, a_right, b_left, b_right) bool arrays.
+    """
+    a_left = ovl.a_start < fuzz
+    a_right = ovl.a_end > ovl.a_len - fuzz
+    bm_left = ovl.b_start < fuzz
+    bm_right = ovl.b_end > ovl.b_len - fuzz
+    rc = ovl.strand == 1
+    b_left = np.where(rc, bm_right, bm_left)
+    b_right = np.where(rc, bm_left, bm_right)
+    return a_left, a_right, b_left, b_right
+
+
+def coverage_filter_mask(ovl: OverlapSet,
+                         cfg: OvlpFilterConfig | None = None) -> np.ndarray:
+    """Quality + coverage-statistics overlap mask (vectorized).
+
+    Role parity: [U] falcon-kit fc_ovlp_filter stages carried into
+    ovlp_filter_with_phase — (1) quality (min_overlap / min_identity),
+    (2) per-read end-coverage stats gating the READ (max_cov repeat
+    filter, min_cov chimera filter, max_diff left/right asymmetry),
+    (3) bestn longest overlaps per (read, end), union over both reads.
+    """
+    cfg = cfg or OvlpFilterConfig()
+    n_reads = int(max(ovl.a_id.max(initial=-1),
+                      ovl.b_id.max(initial=-1))) + 1
+    span = ovl.a_end - ovl.a_start
+    keep = (span >= cfg.min_overlap) & (ovl.identity() >= cfg.min_identity)
+    if n_reads == 0 or not keep.any():
+        return keep
+
+    a_l, a_r, b_l, b_r = _end_flags(ovl, cfg.fuzz)
+    left = np.zeros(n_reads, np.int32)
+    right = np.zeros(n_reads, np.int32)
+    np.add.at(left, ovl.a_id[keep & a_l], 1)
+    np.add.at(right, ovl.a_id[keep & a_r], 1)
+    np.add.at(left, ovl.b_id[keep & b_l], 1)
+    np.add.at(right, ovl.b_id[keep & b_r], 1)
+
+    touched = np.zeros(n_reads, bool)
+    touched[ovl.a_id[keep]] = True
+    touched[ovl.b_id[keep]] = True
+    bad = np.zeros(n_reads, bool)
+    if cfg.max_cov > 0:
+        bad |= (left > cfg.max_cov) | (right > cfg.max_cov)
+    if cfg.max_diff > 0:
+        bad |= np.abs(left - right) > cfg.max_diff
+    if cfg.min_cov > 0:
+        bad |= np.minimum(left, right) < cfg.min_cov
+    bad &= touched
+    keep &= ~(bad[ovl.a_id] | bad[ovl.b_id])
+
+    if cfg.bestn > 0 and keep.any():
+        # rank each (read, end) entry by span desc (ties: smaller overlap
+        # index); an overlap survives if ANY of its end entries ranks
+        # within bestn for its read
+        idx = np.arange(len(ovl))
+        ids, sides, oidx = [], [], []
+        for rid, flag, side in ((ovl.a_id, a_l, 0), (ovl.a_id, a_r, 1),
+                                (ovl.b_id, b_l, 0), (ovl.b_id, b_r, 1)):
+            sel = keep & flag
+            ids.append(rid[sel])
+            sides.append(np.full(int(sel.sum()), side, np.int8))
+            oidx.append(idx[sel])
+        ids = np.concatenate(ids)
+        sides = np.concatenate(sides)
+        oidx = np.concatenate(oidx)
+        if len(ids):
+            order = np.lexsort((oidx, -span[oidx],
+                                sides.astype(np.int32),
+                                ids.astype(np.int64)))
+            g = ids.astype(np.int64)[order] * 2 + sides[order]
+            new_grp = np.ones(len(g), bool)
+            new_grp[1:] = g[1:] != g[:-1]
+            grp_start = np.maximum.accumulate(
+                np.where(new_grp, np.arange(len(g)), 0))
+            rank = np.arange(len(g)) - grp_start
+            ok = np.zeros(len(ovl), bool)
+            ok[oidx[order][rank < cfg.bestn]] = True
+            keep &= ok
+    return keep
 
 
 def phase_filter_mask(ovl: OverlapSet, read_ctg: np.ndarray,
                       read_block: np.ndarray, read_phase: np.ndarray,
                       cfg: OvlpFilterConfig | None = None) -> np.ndarray:
-    """keep[o] mask: quality filters + phase-consistency.
+    """keep[o] mask: quality + coverage filters + phase-consistency.
 
     read_ctg/read_block/read_phase: per-read arrays (-1 = unphased).
     An overlap is dropped iff both reads are phased in the SAME contig and
     block but with DIFFERENT phases — the core unzip constraint
-    ([U] ovlp_filter_with_phase behavior, SURVEY.md §3.1 step 3).
+    ([U] ovlp_filter_with_phase behavior, SURVEY.md §3.1 step 3) — or if
+    it fails the standard falcon coverage filters (coverage_filter_mask).
     """
     cfg = cfg or OvlpFilterConfig()
     a, b = ovl.a_id, ovl.b_id
-    span = ovl.a_end - ovl.a_start
-    keep = (span >= cfg.min_overlap) & (ovl.identity() >= cfg.min_identity)
+    keep = coverage_filter_mask(ovl, cfg)
     same_block = ((read_ctg[a] >= 0)
                   & (read_ctg[a] == read_ctg[b])
                   & (read_block[a] >= 0)
@@ -80,6 +175,8 @@ class UnzipResult:
     p_ctg: list[tuple[str, np.ndarray, list[int]]]   # (name, seq, read path)
     h_ctg: list[Haplotig]
     graph: "StringGraph | None" = None   # reduced phased string graph
+    p_paths: list[list[int]] | None = None  # node paths aligned with p_ctg
+    #   (ctg_paths-role intermediates; node = read*2 + orient)
 
 
 def _majority(votes: list[int]) -> int:
@@ -93,6 +190,50 @@ class UnzipConfig:
     fuzz: int = 60
     reduction_fuzz: int = 100
     max_bubble_steps: int = 64
+    drop_chimers: bool = True    # graph-level chimer read removal
+    convergence_depth: int = 3   # BFS levels past arm ends when joining
+
+
+def place_haplotigs(p_ctg, h_ctg: list["Haplotig"], *, band: int = 512,
+                    min_identity: float = 0.55, anchor_k: int = 13):
+    """Re-align every haplotig onto its OWN primary contig for placement.
+
+    Role parity: [U] graphs_to_h_tigs_2 step 3 — "align h_tig back to
+    p_ctg (SAM -> proto.sam2m4 m4 coords) -> placement interval"
+    (SURVEY.md §3.3).  Replaces the bubble-walk / read-span placement
+    estimate: each haplotig's p_start/p_end is OVERWRITTEN in place with
+    its aligned interval, and the alignments are returned as m4 records
+    for the placement file.  Haplotigs that fail to align keep their
+    walk-time estimate (still emitted, flagged by absence from the m4).
+
+    p_ctg: [(name, seq, reads)]; h_ctg: Haplotig list (mutated in place).
+    """
+    from ..seq import SeqBatch
+    from ..coords import aln_to_m4
+    from .aligner import AlignerConfig, ReadToContigAligner
+
+    records = []
+    by_primary: dict[str, list[Haplotig]] = {}
+    for h in h_ctg:
+        by_primary.setdefault(h.primary, []).append(h)
+    for pname, pseq, _rds in p_ctg:
+        hs = [h for h in by_primary.get(pname, ()) if len(h.seq)]
+        if not hs:
+            continue
+        al = ReadToContigAligner([pseq], AlignerConfig(
+            band=band, min_identity=min_identity, anchor_k=anchor_k,
+            # haplotigs are long: one placement, generous repeat filter
+            max_hits=256))
+        batch = SeqBatch.from_strs([h.seq for h in hs])
+        aln = al.align_batch(batch)
+        m4 = aln_to_m4(aln, read_names=[h.name for h in hs],
+                       ctg_names=[pname], ctg_lens=[len(pseq)])
+        records.extend(m4)
+        for a in range(len(aln)):
+            h = hs[int(aln.read_id[a])]
+            h.p_start = int(aln.t_start[a])
+            h.p_end = int(aln.t_end[a])
+    return records
 
 
 class Unzipper:
@@ -153,6 +294,11 @@ class Unzipper:
     def unzip(self, ovl: OverlapSet, keep_mask: np.ndarray) -> UnzipResult:
         cfg = self.cfg
         lens = self.reads.lengths
+        if cfg.drop_chimers and len(ovl):
+            chim = StringGraph.find_chimers(ovl, keep_mask, fuzz=cfg.fuzz)
+            if chim.any():
+                keep_mask = (keep_mask & ~chim[ovl.a_id]
+                             & ~chim[ovl.b_id])
         g = StringGraph.from_overlaps(ovl, lens, fuzz=cfg.fuzz,
                                       keep_mask=keep_mask)
         g.transitive_reduction(fuzz=cfg.reduction_fuzz)
@@ -161,6 +307,7 @@ class Unzipper:
         visited: set[int] = set()   # read ids consumed by some contig
         p_out: list[tuple[str, np.ndarray, list[int]]] = []
         h_out: list[Haplotig] = []
+        walk_paths: dict[str, list[int]] = {}   # walk name -> node path
 
         while True:
             start = self._pick_start(g, visited)
@@ -258,12 +405,15 @@ class Unzipper:
 
             p_out.append((name, np.concatenate(seq_parts),
                           [node_read(n) for n in path]))
+            walk_paths[name] = path
 
-        result = self._classify(p_out, h_out)
+        result = self._classify(p_out, h_out, walk_paths)
         result.graph = g
         return result
 
-    def _classify(self, contigs, bubble_h) -> UnzipResult:
+    def _classify(self, contigs, bubble_h,
+                  walk_paths: dict[str, list[int]] | None = None
+                  ) -> UnzipResult:
         """Demote walks that re-assemble the opposite phase of an existing
         primary's blocks into haplotigs (the 'associated contig' rule:
         [U] graphs_to_h_tigs_2 emits such paths as h_ctg, and
@@ -272,6 +422,7 @@ class Unzipper:
         order = sorted(range(len(contigs)), key=lambda i: -len(contigs[i][1]))
         claimed: dict[tuple[int, int], tuple[int, int]] = {}  # key->(phase,pi)
         primaries: list[tuple[str, np.ndarray, list[int]]] = []
+        p_paths: list[list[int]] = []
         extra_h: list[Haplotig] = []
         name_of: dict[int, str] = {}
 
@@ -300,6 +451,8 @@ class Unzipper:
                 pname = f"{len(primaries):06d}F"
                 name_of[i] = pname
                 primaries.append((pname, seq, rds))
+                p_paths.append(walk_paths.get(contigs[i][0], [])
+                               if walk_paths else [])
                 for k, p in bp.items():
                     claimed.setdefault(k, (p, i))
 
@@ -319,7 +472,8 @@ class Unzipper:
             counters[h.primary] = counters.get(h.primary, 0) + 1
             renamed.append(dataclasses.replace(
                 h, name=f"{h.primary}_{counters[h.primary]:03d}"))
-        return UnzipResult(p_ctg=primaries, h_ctg=renamed)
+        return UnzipResult(p_ctg=primaries, h_ctg=renamed,
+                           p_paths=p_paths)
 
     def _read_span(self, rds: list[int]) -> tuple[int, int]:
         if self.placements is None:
@@ -332,22 +486,38 @@ class Unzipper:
         return min(ss), max(ee)
 
     def _convergence(self, g: StringGraph, arms: list[list[int]]):
-        """First node shared by all arms (or reachable 1 step past an arm
-        end), else None."""
-        sets = []
+        """First node shared by all arms, else None.
+
+        Each arm's reachable set is extended a bounded BFS
+        (cfg.convergence_depth levels) past the arm end, so bubbles whose
+        arms stop short of the join — nested bubbles, arms truncated at a
+        junction — still converge (round-1 looked only 1 step past the
+        end; VERDICT.md weak #5).  Deterministic: the returned node is
+        the earliest common node along arm 0's walk order, then its BFS
+        levels in sorted node order.
+        """
+        depth = self.cfg.convergence_depth
+        sets: list[set[int]] = []
+        orders: list[list[int]] = []
         for a in arms:
             s = set(a)
-            # also allow convergence at the node right after the arm
-            tail = a[-1]
-            for v in g.edges.get(tail, {}):
-                s.add(v)
+            order = list(a)
+            frontier = [a[-1]]
+            for _ in range(depth):
+                nxt = []
+                for u in frontier:
+                    for v in sorted(g.edges.get(u, {})):
+                        if v not in s:
+                            s.add(v)
+                            nxt.append(v)
+                            order.append(v)
+                frontier = nxt
             sets.append(s)
+            orders.append(order)
         common = set.intersection(*sets) if sets else set()
         if not common:
             return None
-        # earliest common node along the first arm's order
-        probe = arms[0] + [v for v in g.edges.get(arms[0][-1], {})]
-        for n in probe:
+        for n in orders[0]:
             if n in common:
                 return n
         return None

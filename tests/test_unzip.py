@@ -56,7 +56,11 @@ def test_overlaps_found(pipeline):
 
 def test_phase_filter_drops_cross_phase(pipeline):
     dip, reads, ph, read_ctg, read_block, read_phase, ov = pipeline
-    keep = phase_filter_mask(ov, read_ctg, read_block, read_phase)
+    # coverage filters off: this test isolates the PHASE constraint
+    # (coverage-filter behavior is covered by tests/test_ovlp_filter.py)
+    keep = phase_filter_mask(ov, read_ctg, read_block, read_phase,
+                             OvlpFilterConfig(max_diff=0, max_cov=0,
+                                              min_cov=0, bestn=0))
     # some overlaps join opposite phases and must be dropped
     hap_a = reads.hap[ov.a_id]
     hap_b = reads.hap[ov.b_id]
