@@ -186,7 +186,8 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
     hasm_stage = Stage(
         out, "3-hasm", inputs=[cfg.preads, phased_path],
         outputs=["../all_p_ctg.fa", "../all_h_ctg.fa", "../all_h_ctg_ids",
-                 "../h_ctg_placements.json", "../preads.ovl"],
+                 "../h_ctg_placements.json", "../h_ctg_placements.m4",
+                 "../preads.ovl"],
         resume=cfg.resume)
 
     def _hasm(st: Stage):
@@ -195,7 +196,11 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
                                  OvlpFilterConfig(
                                      min_overlap=cfg.overlap.min_overlap,
                                      min_identity=cfg.overlap.min_identity,
-                                     fuzz=cfg.overlap.end_fuzz))
+                                     fuzz=cfg.overlap.end_fuzz,
+                                     max_diff=cfg.overlap.max_diff,
+                                     max_cov=cfg.overlap.max_cov,
+                                     min_cov=cfg.overlap.min_cov,
+                                     bestn=cfg.overlap.bestn))
         metrics.log("ovlp_filter", n_overlaps=len(ovl),
                     n_kept=int(keep.sum()))
 
@@ -229,10 +234,25 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
             res.h_ctg = [h for i, h in enumerate(res.h_ctg) if i in kept]
             metrics.log("dedup", n_dropped=dropped, n_kept=len(res.h_ctg))
 
-        # ---- graph + overlap intermediates (sg_edges_list / LA dump)
+        # ---- haplotig placement by re-alignment (SURVEY.md §3.3 step 3)
+        from ..coords import write_m4
+        from ..models.unzipper import place_haplotigs
+        m4 = place_haplotigs(res.p_ctg, res.h_ctg,
+                             band=max(512, cfg.align.band))
+        write_m4(os.path.join(out, "h_ctg_placements.m4"), m4)
+
+        # ---- graph + overlap intermediates
+        # (sg_edges_list / utg_data / ctg_paths / sg.gfa / LA dump)
         if res.graph is not None:
             res.graph.write_sg_edges(os.path.join(out, "sg_edges_list"),
                                      names=preads.names)
+            res.graph.write_utg_data(os.path.join(out, "utg_data"),
+                                     names=preads.names)
+            from ..io.gfa import write_ctg_paths, write_sg_gfa
+            write_ctg_paths(os.path.join(out, "ctg_paths"), res.p_ctg,
+                            res.p_paths, res.graph, names=preads.names)
+            write_sg_gfa(os.path.join(out, "sg.gfa"), res.graph,
+                         preads.lengths, names=preads.names)
         from ..io.overlaps import write_overlaps
         write_overlaps(os.path.join(out, "preads.ovl"), ovl,
                        names=preads.names)
