@@ -154,6 +154,51 @@ class StringGraph:
                     del self.edges[p][q]
                     self.in_nodes[q].discard(p)
 
+    @staticmethod
+    def find_chimers(ovl, keep: np.ndarray, fuzz: int = 60) -> np.ndarray:
+        """Reads whose kept overlaps never anchor one of their ends.
+
+        Role parity: falcon's chimer classification inside ovlp_to_graph
+        ([U] phased_ovlp_to_graph, SURVEY.md §2a: "chimer/spur
+        filtering").  A chimeric junction read joins two unrelated loci,
+        so real neighbors only overlap its halves: it accumulates
+        overlaps yet neither pile reaches one of its ends.  Interior
+        contig reads are end-anchored on both sides; true contig-terminal
+        reads have NO overlap on the outside — they show one anchored
+        end + no interior-only evidence and are kept.
+
+        Returns a bool (n_reads,) chimer mask.  (The coverage min_cov
+        filter drops these reads' overlaps when enabled; this graph-level
+        mask covers callers that ingest pre-filtered overlap files.)
+        """
+        n = int(max(ovl.a_id.max(initial=-1), ovl.b_id.max(initial=-1))) + 1
+        left = np.zeros(n, bool)
+        right = np.zeros(n, bool)
+        interior = np.zeros(n, bool)
+        has = np.zeros(n, bool)
+        a_l = ovl.a_start < fuzz
+        a_r = ovl.a_end > ovl.a_len - fuzz
+        bm_l = ovl.b_start < fuzz
+        bm_r = ovl.b_end > ovl.b_len - fuzz
+        rc = ovl.strand == 1
+        b_l = np.where(rc, bm_r, bm_l)
+        b_r = np.where(rc, bm_l, bm_r)
+        contain_a = a_l & a_r            # a contained in b
+        contain_b = b_l & b_r            # b contained in a
+        for rid, el, er, other_contained in (
+                (ovl.a_id, a_l, a_r, contain_b),
+                (ovl.b_id, b_l, b_r, contain_a)):
+            left[rid[keep & el]] = True
+            right[rid[keep & er]] = True
+            # a contained partner buried in this read's middle is normal
+            # for contig-terminal reads — only non-containment interior
+            # overlaps are chimer evidence
+            interior[rid[keep & ~el & ~er & ~other_contained]] = True
+            has[rid[keep]] = True
+        # chimer: has overlaps, an unanchored end, AND interior-only
+        # evidence (something overlapped its middle without reaching out)
+        return has & interior & ~(left & right)
+
     def remove_spurs(self, max_ext: int = 2):
         """Trim dead-end branches of <= max_ext edges hanging off junctions."""
         changed = True
@@ -214,6 +259,48 @@ class StringGraph:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
         with open(path, "w") as fh:
             for rec in self.sg_edges_records(names):
+                fh.write(" ".join(str(x) for x in rec) + "\n")
+
+    def _node_str(self, nd: int, names: list[str] | None = None) -> str:
+        r = node_read(nd)
+        nm = names[r] if names else f"{r:09d}"
+        return f"{nm}:{'E' if node_orient(nd) == 0 else 'B'}"
+
+    def utg_records(self, names: list[str] | None = None):
+        """Unitig records in a falcon utg_data-like shape.
+
+        Role parity: [U] phased_ovlp_to_graph's ``utg_data`` output
+        (SURVEY.md §2a: "unitig/bubble identification, sg_edges_list,
+        utg_data, ctg_paths").  One record per canonical maximal simple
+        path: (start, via, end, type, length, n_edges, path) where
+        length sums edge extensions and path joins the node strings with
+        '~'.  Mirror duplicates are dropped (canonical = lexicographically
+        smaller of path / mirrored-reversed path).
+        """
+        recs = []
+        seen: set[tuple[int, ...]] = set()
+        for path in self.unitigs():
+            fwd = tuple(path)
+            rev = tuple(mirror(n) for n in reversed(path))
+            if min(fwd, rev) in seen:
+                continue
+            seen.add(min(fwd, rev))
+            length = sum(self.ext_len(self.edges[u][v])
+                         for u, v in zip(path, path[1:]))
+            recs.append((
+                self._node_str(path[0], names),
+                self._node_str(path[1], names) if len(path) > 2 else "~",
+                self._node_str(path[-1], names),
+                "simple", length, len(path) - 1,
+                "~".join(self._node_str(n, names) for n in path)))
+        return recs
+
+    def write_utg_data(self, path: str,
+                       names: list[str] | None = None) -> None:
+        import os
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        with open(path, "w") as fh:
+            for rec in self.utg_records(names):
                 fh.write(" ".join(str(x) for x in rec) + "\n")
 
     # -- unitigs -----------------------------------------------------------

@@ -19,8 +19,10 @@ from ..seq import NBASE, SeqBatch
 class Diploid:
     hap0: np.ndarray            # int8 codes
     hap1: np.ndarray
-    snp_pos: np.ndarray         # het positions in hap0 coordinates
+    snp_pos: np.ndarray         # het SNP positions in hap0 coordinates
     snp_alt: np.ndarray         # hap1 base at those positions
+    indel_pos: np.ndarray = None  # het indel positions (hap0 coords)
+    indel_len: np.ndarray = None  # +k insertion in hap1 / -k deletion
 
 
 def random_genome(length: int, seed: int = 0) -> np.ndarray:
@@ -33,27 +35,62 @@ def make_diploid(
     het_rate: float = 0.01,
     seed: int = 0,
     het_span: tuple[float, float] | None = None,
+    indel_frac: float = 0.0,
+    max_indel: int = 3,
 ) -> Diploid:
-    """Haplotype pair differing by SNPs at ~het_rate density.
+    """Haplotype pair differing by SNPs (and optionally small indels).
 
-    het_span: optional (lo_frac, hi_frac) restricting SNPs to a sub-region
-    (models a diverged bubble flanked by collapsed homozygous sequence).
+    het_span: optional (lo_frac, hi_frac) restricting het events to a
+    sub-region (models a diverged bubble flanked by collapsed sequence).
+    indel_frac: fraction of het events realized as 1..max_indel het
+    INDELS instead of SNPs (hap1 inserts or deletes relative to hap0);
+    0.0 keeps the SNP-only behavior (golden-stable default).
     """
     rng = np.random.default_rng(seed)
     hap0 = random_genome(length, seed)
     lo, hi = (0, length) if het_span is None else (
         int(length * het_span[0]), int(length * het_span[1]))
-    n_snp = int((hi - lo) * het_rate) if het_rate > 0 else 0
-    if n_snp == 0:
+    n_het = int((hi - lo) * het_rate) if het_rate > 0 else 0
+    if n_het == 0:
         return Diploid(hap0=hap0, hap1=hap0.copy(),
                        snp_pos=np.zeros(0, np.int64),
-                       snp_alt=np.zeros(0, np.int8))
-    pos = lo + np.sort(rng.choice(hi - lo, size=n_snp, replace=False))
-    alt = (hap0[pos] + rng.integers(1, NBASE, size=n_snp)) % NBASE
+                       snp_alt=np.zeros(0, np.int8),
+                       indel_pos=np.zeros(0, np.int64),
+                       indel_len=np.zeros(0, np.int64))
+    pos = lo + np.sort(rng.choice(hi - lo, size=n_het, replace=False))
+    if indel_frac > 0:
+        # events must not overlap a neighboring deletion's span
+        spaced = np.diff(pos, prepend=pos[0] - max_indel - 1) > max_indel
+        pos = pos[spaced]
+    is_indel = rng.random(len(pos)) < indel_frac
+    snp_p = pos[~is_indel]
+    alt = (hap0[snp_p] + rng.integers(1, NBASE, size=len(snp_p))) % NBASE
     hap1 = hap0.copy()
-    hap1[pos] = alt
+    hap1[snp_p] = alt
+    ind_p = pos[is_indel]
+    ind_l = np.zeros(len(ind_p), np.int64)
+    if len(ind_p):
+        sz = rng.integers(1, max_indel + 1, size=len(ind_p))
+        sign = np.where(rng.random(len(ind_p)) < 0.5, 1, -1)
+        ind_l = (sz * sign).astype(np.int64)
+        # splice right-to-left so earlier coordinates stay valid
+        parts = []
+        prev = len(hap1)
+        for p, k in sorted(zip(ind_p.tolist(), ind_l.tolist()),
+                           reverse=True):
+            if k > 0:                      # insertion in hap1 before p
+                parts.append(hap1[p:prev])
+                parts.append(rng.integers(0, NBASE, size=k,
+                                          ).astype(np.int8))
+            else:                          # deletion of -k bases at p
+                parts.append(hap1[p - k:prev])
+            prev = p
+        parts.append(hap1[:prev])
+        hap1 = np.concatenate(parts[::-1])
     return Diploid(hap0=hap0, hap1=hap1,
-                   snp_pos=pos.astype(np.int64), snp_alt=alt.astype(np.int8))
+                   snp_pos=snp_p.astype(np.int64),
+                   snp_alt=alt.astype(np.int8),
+                   indel_pos=ind_p.astype(np.int64), indel_len=ind_l)
 
 
 def mutate_read(read: np.ndarray, error_rate: float, rng) -> np.ndarray:
@@ -81,6 +118,7 @@ class SimReads:
     hap: np.ndarray        # true haplotype of each read (0/1)
     start: np.ndarray      # true start on its haplotype
     end: np.ndarray
+    strand: np.ndarray = None   # 0 = forward, 1 = reverse-complement
 
 
 def simulate_reads(
@@ -89,26 +127,35 @@ def simulate_reads(
     read_len: int = 4000,
     error_rate: float = 0.0,
     seed: int = 1,
+    rc_frac: float = 0.0,
 ) -> SimReads:
-    """Sample reads uniformly from both haplotypes (forward strand).
+    """Sample reads uniformly from both haplotypes.
 
-    Reverse-strand handling is exercised separately by the aligner tests;
-    phasing semantics are strand-agnostic once reads are mapped.
+    rc_frac: fraction of reads emitted reverse-complemented (0.0 keeps
+    the forward-only, golden-stable behavior); the truth arrays record
+    strand and forward-coordinate span.
     """
+    from ..seq import revcomp
     rng = np.random.default_rng(seed)
     haps = [diploid.hap0, diploid.hap1]
     glen = len(diploid.hap0)
     n_reads = max(2, int(coverage * glen / read_len))
-    seqs, hap_ids, starts, ends = [], [], [], []
+    seqs, hap_ids, starts, ends, strands = [], [], [], [], []
     for i in range(n_reads):
         h = int(rng.integers(0, 2))
-        L = int(min(read_len * (0.7 + 0.6 * rng.random()), glen))
-        s = int(rng.integers(0, max(1, glen - L + 1)))
+        hlen = len(haps[h])
+        L = int(min(read_len * (0.7 + 0.6 * rng.random()), hlen))
+        s = int(rng.integers(0, max(1, hlen - L + 1)))
         raw = haps[h][s : s + L]
-        seqs.append(mutate_read(raw, error_rate, rng))
+        read = mutate_read(raw, error_rate, rng)
+        st = 1 if (rc_frac > 0 and rng.random() < rc_frac) else 0
+        if st:
+            read = revcomp(read)
+        seqs.append(read)
         hap_ids.append(h)
         starts.append(s)
         ends.append(s + L)
+        strands.append(st)
     names = [f"read/{i}/{hap_ids[i]}_{starts[i]}_{ends[i]}"
              for i in range(n_reads)]
     return SimReads(
@@ -116,4 +163,5 @@ def simulate_reads(
         hap=np.array(hap_ids, dtype=np.int8),
         start=np.array(starts, dtype=np.int64),
         end=np.array(ends, dtype=np.int64),
+        strand=np.array(strands, dtype=np.int8),
     )

@@ -21,14 +21,18 @@ from falcon_unzip_tpu.pipeline.unzip import run_unzip
 from falcon_unzip_tpu.seq import decode
 from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
 
+# Re-derived 2026-08-19 (round 2): falcon coverage filters (bestn et al.)
+# + graph chimer filter shift the walk start; alignment-end anchoring +
+# arrow_min_cov make polish reproduce BOTH unzip contigs byte-exactly
+# (each output verified an exact substring of its true sim haplotype).
 GOLDEN = {
-    "3-unzip/all_p_ctg.fa": "2214212ca4a79346",
-    "3-unzip/all_h_ctg.fa": "dd7bd5703ca50cf8",
+    "3-unzip/all_p_ctg.fa": "a86c62967efd559e",
+    "3-unzip/all_h_ctg.fa": "7b9ad02a165b3c4c",
     "3-unzip/all_phased_reads": "1b581ee77a2e0a7d",
-    "4-polish/cns_p_ctg.fasta": "0dc81b4ccec72c86",
-    # polish reproduces the haplotig exactly on this sim, so the cns
-    # file is legitimately byte-equal to all_h_ctg.fa
-    "4-polish/cns_h_ctg.fasta": "dd7bd5703ca50cf8",
+    # polish reproduces primary AND haplotig exactly on this sim, so the
+    # cns files are legitimately byte-equal to the 3-unzip outputs
+    "4-polish/cns_p_ctg.fasta": "a86c62967efd559e",
+    "4-polish/cns_h_ctg.fasta": "7b9ad02a165b3c4c",
 }
 
 
