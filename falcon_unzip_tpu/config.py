@@ -85,6 +85,12 @@ class PolishCfg:
 class MeshCfg:
     n_devices: int = 0           # 0 = all available
     window_par: int = 0          # 0 = auto
+    # multi-host (jax.distributed) execution: when true the drivers call
+    # parallel.distributed.initialize() (coordinator/process env vars or
+    # TPU pod metadata), host-shard the aligner/overlapper input, run the
+    # sharded device steps over the GLOBAL mesh, and emit canonical
+    # artifacts from host 0 only (other hosts write .host<k>/ scratch).
+    multihost: bool = False
 
 
 @dataclasses.dataclass

@@ -55,3 +55,38 @@ def deserialize(path: str):
                                    strict_map_key=False)
     with open(path) as fh:
         return json.load(fh)
+
+
+def packb(obj) -> bytes:
+    """In-memory msgpack (bytes values preserved); json-bytes fallback."""
+    if HAVE_MSGPACK:
+        return msgpack.packb(obj, use_bin_type=True)
+    return json.dumps(_jsonable(obj)).encode()       # pragma: no cover
+
+
+def unpackb(blob: bytes):
+    if HAVE_MSGPACK:
+        return msgpack.unpackb(blob, raw=False, strict_map_key=False)
+    return _unjsonable(json.loads(blob.decode()))    # pragma: no cover
+
+
+def _jsonable(obj):                                  # pragma: no cover
+    import base64
+    if isinstance(obj, bytes):
+        return {"__b64__": base64.b64encode(obj).decode()}
+    if isinstance(obj, dict):
+        return {k: _jsonable(v) for k, v in obj.items()}
+    if isinstance(obj, (list, tuple)):
+        return [_jsonable(v) for v in obj]
+    return obj
+
+
+def _unjsonable(obj):                                # pragma: no cover
+    import base64
+    if isinstance(obj, dict):
+        if set(obj) == {"__b64__"}:
+            return base64.b64decode(obj["__b64__"])
+        return {k: _unjsonable(v) for k, v in obj.items()}
+    if isinstance(obj, list):
+        return [_unjsonable(v) for v in obj]
+    return obj

@@ -44,6 +44,61 @@ class AlnSet:
         span = np.maximum(self.t_end - self.t_start, 1)
         return 1.0 - self.dist / span
 
+    def sort_canonical(self) -> "AlnSet":
+        """Reorder records into the canonical (read_id, ctg, strand,
+        t_start, t_end) order.
+
+        Record order out of the batched DP is bucket-shape order, which
+        depends on how the read batch was split; the canonical sort makes
+        the record order a pure function of the record SET, so a
+        host-sharded multi-process run merges to byte-identical output
+        (SURVEY.md §2c cluster fan-out row)."""
+        order = np.lexsort((self.t_end, self.t_start, self.strand,
+                            self.ctg, self.read_id))
+        return AlnSet(
+            read_id=self.read_id[order], ctg=self.ctg[order],
+            strand=self.strand[order], t_start=self.t_start[order],
+            t_end=self.t_end[order], q_len=self.q_len[order],
+            dist=self.dist[order],
+            tags=[self.tags[i] for i in order])
+
+    def to_bytes(self) -> bytes:
+        """Pack into one msgpack blob (the cross-host gather payload)."""
+        from ..parallel.distributed import pack_arrays
+        tag_lens = np.array([len(t) for t in self.tags], np.int64)
+        tag_cat = (np.concatenate(self.tags) if self.tags
+                   else np.zeros((0, 3), np.int32)).astype(np.int32)
+        return pack_arrays({
+            "read_id": self.read_id, "ctg": self.ctg,
+            "strand": self.strand, "t_start": self.t_start,
+            "t_end": self.t_end, "q_len": self.q_len, "dist": self.dist,
+            "tag_lens": tag_lens, "tag_cat": tag_cat.reshape(-1, 3)})
+
+    @staticmethod
+    def from_bytes(blob: bytes) -> "AlnSet":
+        from ..parallel.distributed import unpack_arrays
+        c = unpack_arrays(blob)
+        offs = np.concatenate([[0], np.cumsum(c["tag_lens"])]).astype(np.int64)
+        tags = [c["tag_cat"][offs[i]:offs[i + 1]]
+                for i in range(len(c["tag_lens"]))]
+        return AlnSet(read_id=c["read_id"], ctg=c["ctg"],
+                      strand=c["strand"], t_start=c["t_start"],
+                      t_end=c["t_end"], q_len=c["q_len"], dist=c["dist"],
+                      tags=tags)
+
+    @staticmethod
+    def merge(parts: list["AlnSet"]) -> "AlnSet":
+        """Concatenate per-host record shards and canonically re-sort."""
+        return AlnSet(
+            read_id=np.concatenate([p.read_id for p in parts]),
+            ctg=np.concatenate([p.ctg for p in parts]),
+            strand=np.concatenate([p.strand for p in parts]),
+            t_start=np.concatenate([p.t_start for p in parts]),
+            t_end=np.concatenate([p.t_end for p in parts]),
+            q_len=np.concatenate([p.q_len for p in parts]),
+            dist=np.concatenate([p.dist for p in parts]),
+            tags=[t for p in parts for t in p.tags]).sort_canonical()
+
 
 @dataclasses.dataclass
 class AlignerConfig:
@@ -99,15 +154,26 @@ class ReadToContigAligner:
             self._aligners["a"] = BandedAligner(W=self.cfg.band, mode="tglocal")
         return self._aligners["a"]
 
-    def align_batch(self, reads: SeqBatch) -> AlnSet:
+    def align_batch(self, reads: SeqBatch,
+                    read_range: tuple[int, int] | None = None) -> AlnSet:
+        """Align reads onto the contig set.
+
+        read_range: optional [lo, hi) read-id slice to process — the
+        host-shard hook for multi-process runs (each host aligns its
+        contiguous shard, AlnSet.merge reconstructs the full set).
+        Per-read results are independent, so sharding never changes
+        record values, and the canonical sort makes order shard-invariant.
+        """
         cfg = self.cfg
+        r_lo, r_hi = read_range if read_range is not None \
+            else (0, len(reads))
         # 1) seed + chain every read (host, one vectorized pass for the
         #    whole batch when a single placement per read is kept —
         #    byte-identical to the per-read seed_read loop, which remains
         #    the fallback for max_hits_per_read > 1)
         jobs = []  # (read_id, strand, ctg, win_lo, win_hi, q int8 array)
         if cfg.max_hits_per_read == 1:
-            seqs = [reads.row(i) for i in range(len(reads))]
+            seqs = [reads.row(i) for i in range(r_lo, r_hi)]
             strand, ctg_a, score, d_min, d_max = seed_batch(
                 self.index, seqs, min_anchors=cfg.min_anchors)
             for rid in np.nonzero(score >= 0)[0]:
@@ -124,10 +190,10 @@ class ReadToContigAligner:
                          d1 + q_lo + len(q) + cfg.k + cfg.window_pad)
                 if hi - lo < cfg.k:
                     continue
-                jobs.append((int(rid), int(strand[rid]), int(ctg_a[rid]),
-                             lo, hi, q))
+                jobs.append((int(rid) + r_lo, int(strand[rid]),
+                             int(ctg_a[rid]), lo, hi, q))
         else:
-            for rid in range(len(reads)):
+            for rid in range(r_lo, r_hi):
                 r = reads.row(rid)
                 if len(r) < cfg.k:
                     continue
@@ -230,7 +296,7 @@ class ReadToContigAligner:
             q_len=np.array(out["q_len"], np.int32),
             dist=np.array(out["dist"], np.int32),
             tags=tags_out,
-        )
+        ).sort_canonical()
 
 
 def _bucket(n: int, minimum: int = 256) -> int:

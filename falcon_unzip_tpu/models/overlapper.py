@@ -45,6 +45,34 @@ class OverlapSet:
         span = np.maximum(self.a_end - self.a_start, 1)
         return 1.0 - self.dist / span
 
+    _COLS = ("a_id", "b_id", "strand", "a_start", "a_end",
+             "b_start", "b_end", "a_len", "b_len", "dist")
+
+    def sort_canonical(self) -> "OverlapSet":
+        """Reorder records by (a_id, strand, b_id, a_start): a pure
+        function of the record set, so host-sharded candidate batches
+        merge to the identical overlap stream (graph construction
+        consumes this order — SURVEY.md §2c cluster fan-out row)."""
+        order = np.lexsort((self.a_start, self.b_id, self.strand,
+                            self.a_id))
+        return OverlapSet(**{k: getattr(self, k)[order]
+                             for k in self._COLS})
+
+    def to_bytes(self) -> bytes:
+        from ..parallel.distributed import pack_arrays
+        return pack_arrays({k: getattr(self, k) for k in self._COLS})
+
+    @staticmethod
+    def from_bytes(blob: bytes) -> "OverlapSet":
+        from ..parallel.distributed import unpack_arrays
+        return OverlapSet(**unpack_arrays(blob))
+
+    @staticmethod
+    def merge(parts: list["OverlapSet"]) -> "OverlapSet":
+        return OverlapSet(**{
+            k: np.concatenate([getattr(p, k) for p in parts])
+            for k in OverlapSet._COLS}).sort_canonical()
+
 
 @dataclasses.dataclass
 class OverlapperConfig:
@@ -68,11 +96,17 @@ class PreadOverlapper:
         self.index = KmerIndex.build(self.seqs, k=self.cfg.k,
                                      max_hits=self.cfg.max_hits)
 
-    def _candidates(self):
+    def _candidates(self, a_range: tuple[int, int] | None = None):
         """Seed/chain candidate overlap placements (a_id < b_id only; the
-        symmetric record is derived, not recomputed)."""
+        symmetric record is derived, not recomputed).
+
+        a_range: optional [lo, hi) slice of a-read ids to seed from — the
+        host-shard hook (each unordered pair is generated from its smaller
+        id, so sharding the a axis partitions the candidate set exactly).
+        """
         cfg = self.cfg
         n = len(self.seqs)
+        a_lo, a_hi = a_range if a_range is not None else (0, n)
         cands = []  # (a, b, strand, diag)
         # pair keys must stay < 2^31 inside chain_best_per_pair; beyond
         # that, small blocks keep the anchor temporaries cache-resident
@@ -81,9 +115,9 @@ class PreadOverlapper:
         for strand in (0, 1):
             seqs = self.seqs if strand == 0 else \
                 [revcomp(s) for s in self.seqs]
-            for a0 in range(0, n, block):
+            for a0 in range(a_lo, a_hi, block):
                 rid, q_pos, t_pos, t_ctg = query_flat(
-                    self.index, seqs[a0 : a0 + block])
+                    self.index, seqs[a0 : min(a0 + block, a_hi)])
                 a_glob = rid.astype(np.int64) + a0
                 # each unordered pair is chained once, from the smaller
                 # id (self anchors drop with it; self-rc also skipped)
@@ -102,16 +136,18 @@ class PreadOverlapper:
         cands.sort(key=lambda c: (c[0], c[2], c[1]))
         return cands
 
-    def compute(self) -> OverlapSet:
+    def compute(self, a_range: tuple[int, int] | None = None) -> OverlapSet:
         """Verify candidates with banded DP and emit overlap records.
 
         For a candidate with diagonal D (approx b_pos - a_pos in match
         orientation): the overlapping window is a[max(0,D'):...] vs
         b[max(0,-D'):...] — we align the overhanging suffix of one onto
         the other with a free-tail DP (qglocal) in both directions.
+
+        a_range host-shards the candidate set (see _candidates).
         """
         cfg = self.cfg
-        cands = self._candidates()
+        cands = self._candidates(a_range)
         aligner = BandedAligner(W=cfg.band, mode="tglocal")
         cols = {k: [] for k in ("a_id", "b_id", "strand", "a_start", "a_end",
                                 "b_start", "b_end", "a_len", "b_len", "dist")}
@@ -213,7 +249,7 @@ class PreadOverlapper:
 
         return OverlapSet(**{k: np.array(v, np.int32 if k != "strand"
                                          else np.int8)
-                             for k, v in cols.items()})
+                             for k, v in cols.items()}).sort_canonical()
 
 
 def _bucket(n: int, minimum: int = 256) -> int:

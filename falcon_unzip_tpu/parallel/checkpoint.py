@@ -37,12 +37,16 @@ class Stage:
     """
 
     def __init__(self, out_dir: str, name: str, inputs=(), outputs=(),
-                 resume: bool = True):
+                 resume: bool = True, sync=None):
         self.dir = os.path.join(out_dir, name)
         self.name = name
         self.inputs = list(inputs)
         self.outputs = [os.path.join(self.dir, o) for o in outputs]
         self.resume = resume
+        # multi-host: the skip/run decision must be identical on every
+        # process (the stage body issues collectives) — `sync` maps host
+        # 0's decision onto all hosts (parallel.distributed.sync_stage_done)
+        self.sync = sync
         self.marker = os.path.join(self.dir, "stage.done.json")
 
     def out(self, rel: str) -> str:
@@ -70,7 +74,10 @@ class Stage:
 
     def run(self, fn: Callable[["Stage"], dict | None]) -> bool:
         """Execute the stage body; returns True if it ran, False if skipped."""
-        if self.is_done():
+        done = self.is_done()
+        if self.sync is not None:
+            done = self.sync(done)
+        if done:
             logger.info("[%s] up to date -- skipped", self.name)
             return False
         os.makedirs(self.dir, exist_ok=True)

@@ -33,6 +33,9 @@ def initialize(coordinator_address: str | None = None,
     world instead of letting jax error out.
     """
     import jax
+    from jax._src import distributed as _dist
+    if getattr(_dist.global_state, "client", None) is not None:
+        return      # already initialized (drivers call this idempotently)
     ca = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
     np_ = num_processes or _int_env("JAX_NUM_PROCESSES")
     pid = process_id if process_id is not None else _int_env("JAX_PROCESS_ID")
@@ -65,6 +68,11 @@ def is_primary_host() -> bool:
     return jax.process_index() == 0
 
 
+def process_count() -> int:
+    import jax
+    return jax.process_count()
+
+
 def host_shard(n_items: int) -> tuple[int, int]:
     """[start, end) slice of n_items owned by this host (contiguous)."""
     import jax
@@ -72,3 +80,75 @@ def host_shard(n_items: int) -> tuple[int, int]:
     np_ = jax.process_count()
     per = -(-n_items // np_)
     return min(p * per, n_items), min((p + 1) * per, n_items)
+
+
+def barrier(tag: str) -> None:
+    """Block until every process reaches this point (driver boundaries:
+    host k must not read host 0's canonical artifacts mid-write)."""
+    import jax
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils as mhu
+    mhu.sync_global_devices(tag)
+
+
+def sync_stage_done(done: bool) -> bool:
+    """Make a Stage skip/run decision identical on every host.
+
+    Host 0's checkpoint state is authoritative (it owns the canonical
+    artifacts; other hosts write scratch) — if the decisions diverged,
+    the host that runs the stage would block in its first collective
+    while the skipping host never joins, deadlocking the job.
+    """
+    import jax
+    if jax.process_count() == 1:
+        return done
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+    flag = mhu.broadcast_one_to_all(np.asarray([1 if done else 0], np.int32))
+    return bool(int(flag[0]))
+
+
+def allgather_bytes(payload: bytes) -> list[bytes]:
+    """Gather one bytes blob per process, returned in process order.
+
+    The host-shard merge primitive: each host serializes the records it
+    computed for its input shard; every host receives all shards and
+    reconstructs the full (canonically re-sorted) record set.  Rides the
+    same DCN/ICI channels as the device collectives (multihost_utils).
+    """
+    import jax
+    if jax.process_count() == 1:
+        return [payload]
+    import numpy as np
+    from jax.experimental import multihost_utils as mhu
+    lens = mhu.process_allgather(np.asarray([len(payload)], np.int64))
+    lens = np.asarray(lens).reshape(-1)
+    cap = max(int(lens.max()), 1)
+    buf = np.zeros(cap, np.uint8)
+    buf[: len(payload)] = np.frombuffer(payload, np.uint8)
+    stacked = np.asarray(mhu.process_allgather(buf))
+    stacked = stacked.reshape(jax.process_count(), cap)
+    return [stacked[i, : int(lens[i])].tobytes()
+            for i in range(jax.process_count())]
+
+
+def pack_arrays(cols: dict) -> bytes:
+    """msgpack a dict of numpy arrays (dtype+shape preserved)."""
+    import numpy as np
+
+    from ..io.serialize import packb
+    out = {}
+    for k, v in cols.items():
+        v = np.ascontiguousarray(v)
+        out[k] = (str(v.dtype), list(v.shape), v.tobytes())
+    return packb(out)
+
+
+def unpack_arrays(blob: bytes) -> dict:
+    import numpy as np
+
+    from ..io.serialize import unpackb
+    raw = unpackb(blob)
+    return {k: np.frombuffer(b, dtype=np.dtype(dt)).reshape(shape)
+            for k, (dt, shape, b) in raw.items()}

@@ -39,10 +39,21 @@ def run_quiver(cfg: PipelineConfig) -> dict:
 
 
 def _run_quiver(cfg: PipelineConfig) -> dict:
+    # ---- multi-host (see pipeline.unzip): canonical 3-unzip inputs are
+    # always read from host 0's out_dir; non-primary hosts write scratch
+    from ..parallel import distributed as dist
+    if cfg.mesh.multihost:
+        dist.initialize()
+    multi = dist.process_count() > 1
+    out_root = cfg.out_dir
+    if multi and not dist.is_primary_host():
+        import jax
+        out_root = os.path.join(cfg.out_dir, f".host{jax.process_index()}")
+    sync = dist.sync_stage_done if multi else None
     unzip_dir = os.path.join(cfg.out_dir, "3-unzip")
-    out = os.path.join(cfg.out_dir, "4-polish")
+    out = os.path.join(out_root, "4-polish")
     os.makedirs(out, exist_ok=True)
-    metrics = MetricsLog(os.path.join(cfg.out_dir, "metrics.jsonl"))
+    metrics = MetricsLog(os.path.join(out_root, "metrics.jsonl"))
 
     p_path = os.path.join(unzip_dir, "all_p_ctg.fa")
     h_path = os.path.join(unzip_dir, "all_h_ctg.fa")
@@ -74,13 +85,23 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
                 window_pad=cfg.align.window_pad,
                 min_identity=cfg.align.min_identity,
                 batch_pairs=cfg.align.batch_pairs))
-            _aln["a"] = aligner.align_batch(reads)
+            if multi:
+                # host-sharded raw-read alignment + cross-host gather
+                # (see pipeline.unzip.get_aln)
+                from ..models.aligner import AlnSet
+                local = aligner.align_batch(
+                    reads, read_range=dist.host_shard(len(reads)))
+                _aln["a"] = AlnSet.merge(
+                    [AlnSet.from_bytes(b)
+                     for b in dist.allgather_bytes(local.to_bytes())])
+            else:
+                _aln["a"] = aligner.align_batch(reads)
         return _aln["a"]
 
     # ---- stage 1: track reads -> combined reference (rr_hctg_track role)
     track_stage = Stage(out, "1-track", inputs=[reads_path, p_path, h_path],
                         outputs=["read_to_contig_map.msgpack"],
-                        resume=cfg.resume)
+                        resume=cfg.resume, sync=sync)
 
     def _track(st: Stage):
         aln = get_aln()
@@ -95,14 +116,17 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
         out, "2-polish", inputs=[reads_path, p_path, h_path],
         outputs=["../cns_p_ctg.fasta", "../cns_p_ctg.fastq",
                  "../cns_h_ctg.fasta", "../cns_h_ctg.fastq"],
-        resume=cfg.resume)
+        resume=cfg.resume, sync=sync)
 
     def _polish(st: Stage):
         from ..parallel.sharding import (ShardedPairHMMScorer,
+                                         ShardedWindowVotes,
                                          make_pipeline_mesh)
         mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par)
         scorer = ShardedPairHMMScorer(mesh, W=cfg.polish.hmm_band) \
             if mesh is not None else None
+        vote_ops = ShardedWindowVotes(mesh) \
+            if mesh is not None and mesh.shape["window"] > 1 else None
         if mesh is not None:
             logger.info("polish scoring over mesh %s", dict(mesh.shape))
         polisher = Polisher(PolisherConfig(
@@ -114,7 +138,7 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
             hmm_band=cfg.polish.hmm_band,
             score_batch=cfg.polish.score_batch,
             use_pallas=None if cfg.polish.use_pallas else False),
-            scorer=scorer)
+            scorer=scorer, vote_ops=vote_ops)
         polished = polisher.polish_all(list(zip(names, contigs)), get_aln())
         p_out = [c for i, c in enumerate(polished) if i < n_primary]
         h_out = [c for i, c in enumerate(polished) if i >= n_primary]
@@ -132,6 +156,8 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
     stats = polish_stage.metrics()
     metrics.log("polish", **stats)
     logger.info("polish done: %s", stats)
+    if multi:
+        dist.barrier("quiver-done")
     return {**stats, "out_dir": out}
 
 

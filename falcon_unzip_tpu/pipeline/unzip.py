@@ -47,16 +47,30 @@ def run_unzip(cfg: PipelineConfig) -> dict:
 
 def _run_unzip(cfg: PipelineConfig) -> dict:
     cfg.validate()
-    out = os.path.join(cfg.out_dir, "3-unzip")
+    # ---- multi-host: one process per host joins the jax.distributed
+    # world; host compute is replicated, the EXPENSIVE work (alignment,
+    # overlap candidates, sharded device steps) is host/device-sharded,
+    # and only host 0 writes the canonical artifacts (SURVEY.md §2c)
+    from ..parallel import distributed as dist
+    if cfg.mesh.multihost:
+        dist.initialize()
+    multi = dist.process_count() > 1
+    out_root = cfg.out_dir
+    if multi and not dist.is_primary_host():
+        import jax
+        out_root = os.path.join(cfg.out_dir, f".host{jax.process_index()}")
+    sync = dist.sync_stage_done if multi else None
+    out = os.path.join(out_root, "3-unzip")
     os.makedirs(out, exist_ok=True)
-    metrics = MetricsLog(os.path.join(cfg.out_dir, "metrics.jsonl"))
+    metrics = MetricsLog(os.path.join(out_root, "metrics.jsonl"))
 
     preads = read_fasta(cfg.preads)
     logger.info("loaded %d preads", len(preads))
 
     # ---- stage 0: draft contigs (given, or de novo from the pread graph)
     draft_stage = Stage(out, "0-draft", inputs=[cfg.preads, cfg.draft],
-                        outputs=["draft_p_ctg.fa"], resume=cfg.resume)
+                        outputs=["draft_p_ctg.fa"], resume=cfg.resume,
+                        sync=sync)
 
     overlaps_holder: dict = {}
 
@@ -67,7 +81,18 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
                 min_overlap=cfg.overlap.min_overlap,
                 min_identity=cfg.overlap.min_identity,
                 end_fuzz=cfg.overlap.end_fuzz)
-            overlaps_holder["ovl"] = PreadOverlapper(preads, ov_cfg).compute()
+            overlapper = PreadOverlapper(preads, ov_cfg)
+            if multi:
+                # each host seeds/verifies the candidates of its a-read
+                # shard; the gathered union re-sorts to the identical
+                # overlap stream (OverlapSet.sort_canonical)
+                local = overlapper.compute(dist.host_shard(len(preads)))
+                from ..models.overlapper import OverlapSet
+                overlaps_holder["ovl"] = OverlapSet.merge(
+                    [OverlapSet.from_bytes(b)
+                     for b in dist.allgather_bytes(local.to_bytes())])
+            else:
+                overlaps_holder["ovl"] = overlapper.compute()
         return overlaps_holder["ovl"]
 
     def _draft(st: Stage):
@@ -105,13 +130,25 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
                 window_pad=cfg.align.window_pad,
                 min_identity=cfg.align.min_identity,
                 batch_pairs=cfg.align.batch_pairs))
-            _aln_cache["a"] = aligner.align_batch(preads)
+            if multi:
+                # host-sharded alignment (the wall-clock dominant stage):
+                # each host seeds + DP-verifies its read shard, the
+                # gathered union is canonically re-sorted -> every host
+                # holds the identical full AlnSet
+                from ..models.aligner import AlnSet
+                local = aligner.align_batch(
+                    preads, read_range=dist.host_shard(len(preads)))
+                _aln_cache["a"] = AlnSet.merge(
+                    [AlnSet.from_bytes(b)
+                     for b in dist.allgather_bytes(local.to_bytes())])
+            else:
+                _aln_cache["a"] = aligner.align_batch(preads)
         return _aln_cache["a"]
 
     align_stage = Stage(out, "1-align",
                         inputs=[cfg.preads, draft_stage.out("draft_p_ctg.fa")],
                         outputs=["read_to_contig_map.msgpack"],
-                        resume=cfg.resume)
+                        resume=cfg.resume, sync=sync)
 
     def _track(st: Stage):
         aln = get_aln()
@@ -133,7 +170,7 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
     phasing_stage = Stage(
         out, "2-phasing",
         inputs=[cfg.preads, draft_stage.out("draft_p_ctg.fa")],
-        outputs=["../all_phased_reads"], resume=cfg.resume)
+        outputs=["../all_phased_reads"], resume=cfg.resume, sync=sync)
 
     def _phase(st: Stage):
         ph_cfg = PhasingConfig(
@@ -188,7 +225,7 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
         outputs=["../all_p_ctg.fa", "../all_h_ctg.fa", "../all_h_ctg_ids",
                  "../h_ctg_placements.json", "../h_ctg_placements.m4",
                  "../preads.ovl"],
-        resume=cfg.resume)
+        resume=cfg.resume, sync=sync)
 
     def _hasm(st: Stage):
         ovl = _compute_overlaps()
@@ -279,6 +316,8 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
     stats = hasm_stage.metrics()
     logger.info("unzip done: %s primary, %s haplotigs",
                 stats.get("p_ctg"), stats.get("h_ctg"))
+    if multi:   # canonical artifacts complete before any host reads them
+        dist.barrier("unzip-done")
     return {**stats, "out_dir": out}
 
 

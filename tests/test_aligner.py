@@ -102,3 +102,27 @@ def test_batched_seeding_matches_per_read_loop():
         assert int(fast.t_end[a]) == int(loop.t_end[b])
         assert int(fast.dist[a]) == int(loop.dist[b])
         assert np.array_equal(fast.tags[a], loop.tags[b])
+
+
+def test_host_shard_merge_equivalence():
+    """align_batch over read_range shards + AlnSet.merge must reproduce
+    the full-batch result exactly (the multi-host gather contract), and
+    the to_bytes/from_bytes payload must round-trip."""
+    from falcon_unzip_tpu.models.aligner import AlnSet
+    dip = make_diploid(length=6000, het_rate=0.01, seed=21)
+    reads = simulate_reads(dip, coverage=5.0, read_len=1200,
+                           error_rate=0.05, seed=22)
+    al = ReadToContigAligner([dip.hap0])
+    full = al.align_batch(reads.batch)
+    n = len(reads.batch)
+    parts = [al.align_batch(reads.batch, read_range=(0, n // 3)),
+             al.align_batch(reads.batch, read_range=(n // 3, 2 * n // 3)),
+             al.align_batch(reads.batch, read_range=(2 * n // 3, n))]
+    parts = [AlnSet.from_bytes(p.to_bytes()) for p in parts]  # round-trip
+    merged = AlnSet.merge(parts)
+    assert len(merged) == len(full)
+    for f in ("read_id", "ctg", "strand", "t_start", "t_end",
+              "q_len", "dist"):
+        np.testing.assert_array_equal(getattr(merged, f), getattr(full, f))
+    for a, b in zip(merged.tags, full.tags):
+        np.testing.assert_array_equal(a, b)

@@ -52,6 +52,110 @@ print(f"OK process={jax.process_index()} total={out}", flush=True)
 """
 
 
+_PIPELINE_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+d = sys.argv[1]
+from falcon_unzip_tpu.config import PipelineConfig
+from falcon_unzip_tpu.pipeline.quiver import run_quiver
+from falcon_unzip_tpu.pipeline.unzip import run_unzip
+cfg = PipelineConfig(preads=f"{d}/preads.fa", reads=f"{d}/raw.fa",
+                     draft=f"{d}/draft.fa", out_dir=f"{d}/out_mp")
+cfg.mesh.multihost = True      # initialize() from JAX_* env vars
+run_unzip(cfg)
+run_quiver(cfg)
+print(f"WORKER-OK process={jax.process_index()}", flush=True)
+"""
+
+# canonical artifacts that must be byte-identical between the
+# single-process and the 2-host run (host 0 emits them)
+_COMPARE = [
+    "3-unzip/all_p_ctg.fa", "3-unzip/all_h_ctg.fa",
+    "3-unzip/all_phased_reads", "3-unzip/all_h_ctg_ids",
+    "3-unzip/h_ctg_placements.m4", "3-unzip/sg_edges_list",
+    "3-unzip/preads.ovl",
+    "4-polish/cns_p_ctg.fasta", "4-polish/cns_p_ctg.fastq",
+    "4-polish/cns_h_ctg.fasta", "4-polish/cns_h_ctg.fastq",
+]
+
+
+@pytest.mark.slow
+def test_two_process_full_pipeline_byte_identical(tmp_path):
+    """The VERDICT #1 gate: the FULL 3-unzip + 4-polish pipeline over a
+    2-process x 2-device jax.distributed world emits byte-identical
+    canonical artifacts vs the single-process run (SURVEY.md §2c cluster
+    fan-out row; BASELINE.json bit-identical north star)."""
+    from falcon_unzip_tpu.config import PipelineConfig
+    from falcon_unzip_tpu.io.fasta import write_fasta
+    from falcon_unzip_tpu.pipeline.quiver import run_quiver
+    from falcon_unzip_tpu.pipeline.unzip import run_unzip
+    from falcon_unzip_tpu.seq import decode
+    from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
+
+    d = str(tmp_path)
+    dip = make_diploid(length=4000, het_rate=0.02, seed=11,
+                       het_span=(0.25, 0.75))
+    pr = simulate_reads(dip, coverage=12.0, read_len=1500,
+                        error_rate=0.0, seed=12)
+    raw = simulate_reads(dip, coverage=14.0, read_len=1200,
+                         error_rate=0.03, seed=13)
+    write_fasta(f"{d}/preads.fa",
+                ((pr.batch.names[i], pr.batch.to_str(i))
+                 for i in range(len(pr.batch))))
+    write_fasta(f"{d}/raw.fa",
+                ((raw.batch.names[i], raw.batch.to_str(i))
+                 for i in range(len(raw.batch))))
+    write_fasta(f"{d}/draft.fa", [("d0", decode(dip.hap0))])
+
+    # ---- single-process reference run (in this pytest process)
+    cfg = PipelineConfig(preads=f"{d}/preads.fa", reads=f"{d}/raw.fa",
+                         draft=f"{d}/draft.fa", out_dir=f"{d}/out_sp")
+    run_unzip(cfg)
+    run_quiver(cfg)
+
+    # ---- 2-process x 2-virtual-device multihost run
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for i in range(2):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = "2"
+        env["JAX_PROCESS_ID"] = str(i)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", _PIPELINE_WORKER, d],
+            cwd=repo, env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multihost pipeline worker timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out[-3000:]}"
+        assert "WORKER-OK" in out, out[-500:]
+
+    mismatches = []
+    for rel in _COMPARE:
+        sp = open(os.path.join(d, "out_sp", rel), "rb").read()
+        mp = open(os.path.join(d, "out_mp", rel), "rb").read()
+        if sp != mp:
+            mismatches.append(rel)
+    assert not mismatches, (
+        "multihost outputs diverged from single-process run: "
+        + ", ".join(mismatches))
+
+
 @pytest.mark.slow
 def test_two_process_distributed_psum(tmp_path):
     with socket.socket() as s:

@@ -25,10 +25,13 @@ from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
 # + graph chimer filter shift the walk start; alignment-end anchoring +
 # arrow_min_cov make polish reproduce BOTH unzip contigs byte-exactly
 # (each output verified an exact substring of its true sim haplotype).
+# all_phased_reads re-derived same day for AlnSet.sort_canonical (records
+# now in read-id order, shard-count invariant for multi-host runs); all
+# contig outputs were verified byte-UNCHANGED by that re-derivation.
 GOLDEN = {
     "3-unzip/all_p_ctg.fa": "a86c62967efd559e",
     "3-unzip/all_h_ctg.fa": "7b9ad02a165b3c4c",
-    "3-unzip/all_phased_reads": "1b581ee77a2e0a7d",
+    "3-unzip/all_phased_reads": "3c3f04ee8364d5f6",
     # polish reproduces primary AND haplotig exactly on this sim, so the
     # cns files are legitimately byte-equal to the 3-unzip outputs
     "4-polish/cns_p_ctg.fasta": "a86c62967efd559e",

@@ -101,3 +101,23 @@ def test_phase_filter_composes_with_coverage():
                            min_cov=0, bestn=0)
     keep = phase_filter_mask(ovl, read_ctg, read_block, read_phase, cfg)
     assert list(keep) == [False, True]
+
+
+def test_overlap_host_shard_merge_equivalence():
+    """compute(a_range) shards + OverlapSet.merge == full compute (the
+    multi-host overlap gather contract), including byte round-trip."""
+    from falcon_unzip_tpu.models.overlapper import PreadOverlapper
+    from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
+    dip = make_diploid(length=5000, het_rate=0.0, seed=31)
+    reads = simulate_reads(dip, coverage=6.0, read_len=1400,
+                           error_rate=0.0, seed=32)
+    ov = PreadOverlapper(reads.batch)
+    full = ov.compute()
+    n = len(reads.batch)
+    parts = [ov.compute(a_range=(0, n // 2)),
+             ov.compute(a_range=(n // 2, n))]
+    parts = [OverlapSet.from_bytes(p.to_bytes()) for p in parts]
+    merged = OverlapSet.merge(parts)
+    assert len(merged) == len(full)
+    for f in OverlapSet._COLS:
+        np.testing.assert_array_equal(getattr(merged, f), getattr(full, f))
