@@ -10,7 +10,17 @@ BASELINE.md).
 
 Timing methodology: K data-dependent iterations chained inside ONE
 dispatch (defeats loop-invariant hoisting and any runtime result
-caching), scalar-reduced output fetch, fixed dispatch latency subtracted.
+caching), scalar-reduced output fetch.  The per-iteration cost is the
+SLOPE between a K-chained and a 2K-chained dispatch (best-of-5 each):
+per_iter = (t2K - tK) / K.  This self-calibrates every fixed per-call
+cost (RPC, launch, fetch) as the intercept — reported, not assumed
+(replaces round 1's hardcoded 0.032 s constant).
+
+Roofline: the kernel is pure VPU work (no MXU).  Per band cell it does
+~40 f32 vector ops + 8 transcendentals (the kernel's own
+pl.CostEstimate, derived from the 4 logaddexp + 7 band shifts + masks
+per antidiagonal); pct_vpu_peak reports measured ops/s against the v5e
+VPU ceiling 4 ALUs x (8x128) lanes x 1.74 GHz ~= 7.1 Tops/s.
 
 Prints exactly one JSON line.
 """
@@ -24,7 +34,8 @@ import time
 import numpy as np
 
 P, WIN, W, K = 256, 512, 128, 20
-DISPATCH_OVERHEAD_S = 0.032      # measured RPC floor; subtracted below
+OPS_PER_CELL = 48.0              # 40 vector flops + 8 transcendentals
+VPU_PEAK_OPS = 4 * 8 * 128 * 1.74e9   # v5e: ALUs x lanes x clock
 
 
 def _inputs():
@@ -39,8 +50,10 @@ def _inputs():
     return qg, trg, n, m, lo, G, Dmax
 
 
-def _time_chained(fn, args) -> float:
-    """Best per-call seconds over warm repeats of a K-chained dispatch."""
+def _wall(fn, args) -> float:
+    """Best wall seconds over warm repeats of one chained dispatch
+    (np.asarray forces real completion — block_until_ready can return
+    early on the remote-TPU relay)."""
     v = np.asarray(fn(*args))
     best = float("inf")
     for _ in range(5):
@@ -48,7 +61,15 @@ def _time_chained(fn, args) -> float:
         v = np.asarray(fn(*args))
         best = min(best, time.perf_counter() - t0)
     assert np.isfinite(v)
-    return max(best - DISPATCH_OVERHEAD_S, 1e-9) / K
+    return best
+
+
+def _slope(make_chained, args):
+    """(per_iter_s, intercept_s) from K- and 2K-chained dispatches."""
+    tK = _wall(make_chained(K), args)
+    t2K = _wall(make_chained(2 * K), args)
+    per_iter = max((t2K - tK) / K, 1e-9)
+    return per_iter, max(tK - K * per_iter, 0.0)
 
 
 def _measure_pallas() -> float:
@@ -64,19 +85,22 @@ def _measure_pallas() -> float:
     pk = tuple(sorted((k, float(v))
                       for k, v in HMMParams().logs().items()))
 
-    @jax.jit
-    def chained(qg, trg, n8, m8):
-        def body(i, acc):
-            qg2 = qg + (acc[0] * 0).astype(jnp.int32)
-            ll = _pallas_forward(qg2, trg, n8, m8, W=W, Lt=WIN, G=G,
-                                 Dmax=Dmax, PB=256, params_key=pk)
-            return acc + ll
-        return jnp.sum(jax.lax.fori_loop(0, K, body,
-                                         jnp.zeros((P,), jnp.float32)))
+    def make_chained(k):
+        @jax.jit
+        def chained(qg, trg, n8, m8):
+            def body(i, acc):
+                qg2 = qg + (acc[0] * 0).astype(jnp.int32)
+                ll = _pallas_forward(qg2, trg, n8, m8, W=W, Lt=WIN, G=G,
+                                     Dmax=Dmax, PB=256, params_key=pk)
+                return acc + ll
+            return jnp.sum(jax.lax.fori_loop(0, k, body,
+                                             jnp.zeros((P,), jnp.float32)))
+        return chained
 
-    per_call = _time_chained(chained, (jnp.asarray(qg32), jnp.asarray(trg32),
-                                       jnp.asarray(n8), jnp.asarray(m8)))
-    return P * (WIN - 12) / per_call
+    per_iter, icpt = _slope(make_chained, (
+        jnp.asarray(qg32), jnp.asarray(trg32), jnp.asarray(n8),
+        jnp.asarray(m8)))
+    return P * (WIN - 12) / per_iter, P * Dmax * W / per_iter, icpt
 
 
 def _measure_xla() -> float:
@@ -87,30 +111,33 @@ def _measure_xla() -> float:
     core = functools.partial(forward_core, W=W, Lt=WIN, G=G)
     pv = params_vector()
 
-    @jax.jit
-    def chained(qg, trg, n, m, lo, pv):
-        def body(i, acc):
-            pv2 = pv + acc[0] * 0
-            return acc + core(qg, trg, n, m, lo, pv2)
-        return jnp.sum(jax.lax.fori_loop(0, K, body,
-                                         jnp.zeros((P,), jnp.float32)))
+    def make_chained(k):
+        @jax.jit
+        def chained(qg, trg, n, m, lo, pv):
+            def body(i, acc):
+                pv2 = pv + acc[0] * 0
+                return acc + core(qg, trg, n, m, lo, pv2)
+            return jnp.sum(jax.lax.fori_loop(0, k, body,
+                                             jnp.zeros((P,), jnp.float32)))
+        return chained
 
-    per_call = _time_chained(chained, (
+    per_iter, icpt = _slope(make_chained, (
         jnp.asarray(qg), jnp.asarray(trg), jnp.asarray(n), jnp.asarray(m),
         jnp.asarray(lo), jnp.asarray(pv)))
-    return P * (WIN - 12) / per_call
+    return P * (WIN - 12) / per_iter, P * Dmax * W / per_iter, icpt
 
 
 def main():
     import jax
     on_tpu = any("tpu" in str(d).lower() for d in jax.devices())
-    bases_per_sec = _measure_pallas() if on_tpu else _measure_xla()
+    bases_per_sec, cells_per_sec, dispatch_s = (
+        _measure_pallas() if on_tpu else _measure_xla())
 
     # CPU-host baseline: same computation, CPU backend, separate process
     code = (
         "import jax,json;jax.config.update('jax_platforms','cpu');"
-        "import bench;bench.DISPATCH_OVERHEAD_S=0.0;bench.K=3;"
-        "print(json.dumps(bench._measure_xla()))"
+        "import bench;bench.K=3;"
+        "print(json.dumps(bench._measure_xla()[0]))"
     )
     try:
         r = subprocess.run([sys.executable, "-c", code], cwd=os.path.dirname(
@@ -126,6 +153,12 @@ def main():
         "value": round(bases_per_sec, 1),
         "unit": "bases/s",
         "vs_baseline": round(vs, 2),
+        # roofline: band cells/s and the fraction of the v5e VPU ceiling
+        # the kernel's ~48 ops/cell sustain (only meaningful on TPU)
+        "gcells_per_sec": round(cells_per_sec / 1e9, 2),
+        "pct_vpu_peak": round(100.0 * cells_per_sec * OPS_PER_CELL
+                              / VPU_PEAK_OPS, 1) if on_tpu else None,
+        "dispatch_s_intercept": round(dispatch_s, 4),
     }))
 
 

@@ -209,19 +209,26 @@ def select_reads_by_contig(path: str, read_to_ctg: dict[str, int],
     """Partition a BAM into per-contig BAMs (select_reads_from_bam role).
 
     out_pattern: e.g. "part/ctg_{}.bam".  Unassigned reads are dropped.
-    All partitions are buffered in memory (columnar framework scale);
-    the reference's max_n_open_files two-stage dance is unnecessary.
+    The read->contig-owner routing runs through the mesh all_to_all
+    regroup (parallel.collectives.regroup_partition — the reference's
+    `max_n_open_files` two-stage partition re-mapped per SURVEY.md §2c
+    row 5); records land in input order, so the output bytes match a
+    host scan exactly.  Partitions are buffered in memory (columnar
+    framework scale; no open-file budget needed).
     """
+    import numpy as np
+
+    from ..parallel.collectives import regroup_partition
+
     bam = read_bam(path)
-    parts: dict[int, list[BamRecord]] = {}
-    for rec in bam.records:
-        ctg = read_to_ctg.get(rec.name, -1)
-        if ctg >= 0:
-            parts.setdefault(int(ctg), []).append(rec)
+    ctg_ids = np.array([read_to_ctg.get(rec.name, -1)
+                        for rec in bam.records], np.int64)
     outs = []
-    for ctg, recs in sorted(parts.items()):
+    for ctg, idx in enumerate(regroup_partition(ctg_ids, n_ctg)):
+        if not len(idx):
+            continue
         out_path = out_pattern.format(ctg)
         write_bam(out_path, BamFile(text=bam.text, refs=bam.refs,
-                                    records=recs))
+                                    records=[bam.records[i] for i in idx]))
         outs.append(out_path)
     return outs

@@ -81,10 +81,17 @@ def concat_batches(batches: list[SeqBatch]) -> SeqBatch:
 
 
 def read_seqs(path: str) -> SeqBatch:
-    """Any supported input (or .fofn of them) -> one SeqBatch."""
+    """Any supported input (or .fofn of them) -> one SeqBatch.
+
+    A .fofn fans out across the host dataflow engine
+    (parallel.dataflow.Pipeline): files parse on worker threads with
+    retry + heartbeat — the pypeFLOW task fan-out role (SURVEY.md §2c
+    row 1) applied to the IO-bound ingest edge.  Results are re-ordered
+    to fofn order, so the packed batch is identical to a serial parse.
+    """
     if _is_fofn(path):
         base = os.path.dirname(os.path.abspath(path))
-        parts = []
+        paths = []
         with open(path) as fh:
             for line in fh:
                 p = line.strip()
@@ -92,7 +99,16 @@ def read_seqs(path: str) -> SeqBatch:
                     continue
                 if not os.path.isabs(p):
                     p = os.path.join(base, p)
-                parts.append(read_seqs(p))
+                paths.append(p)
+        if len(paths) > 1:
+            from ..parallel.dataflow import Pipeline, StageSpec
+            pipe = Pipeline([StageSpec(
+                "ingest", lambda it: (it[0], read_seqs(it[1])),
+                workers=min(4, len(paths)), max_retries=1)])
+            results = pipe.run(enumerate(paths))
+            parts = [b for _, b in sorted(results, key=lambda r: r[0])]
+        else:
+            parts = [read_seqs(p) for p in paths]
         return concat_batches(parts)
     if _is_bam(path):
         return read_bam_seqs(path)

@@ -111,11 +111,18 @@ def window_votes(aln: AlnSet, rec_idx: np.ndarray, lo: int, hi: int):
 
 
 class Polisher:
-    def __init__(self, cfg: PolisherConfig | None = None, scorer=None):
+    def __init__(self, cfg: PolisherConfig | None = None, scorer=None,
+                 vote_ops=None):
         """scorer: optional pair-HMM scorer override with the standard
         (q, t, n, m) -> ll interface (e.g. parallel.sharding.
-        ShardedPairHMMScorer for mesh-sharded polish)."""
+        ShardedPairHMMScorer for mesh-sharded polish).
+
+        vote_ops: optional parallel.sharding.ShardedWindowVotes — builds
+        the per-window vote tensors window-SHARDED over the mesh (device
+        scatter + psum + ppermute halo exchange) instead of the host
+        vote_matrix; bit-identical votes, distributed scatter."""
         self.cfg = cfg or PolisherConfig()
+        self._vote_ops = vote_ops
         if scorer is not None:
             self._scorer = scorer
             return
@@ -180,7 +187,30 @@ class Polisher:
         t_len = len(template)
         step = cfg.window - cfg.overlap
 
-        votes_full = vote_matrix([aln.tags[a] for a in rec_idx], t_len)
+        if (self._vote_ops is not None
+                and self._vote_ops.supports(t_len, cfg.window)):
+            # window-sharded device path: each mesh 'window' shard
+            # scatter-adds its template segment, the ppermute halo ships
+            # boundary columns, and each polish window slices from the
+            # block of the shard owning its start (bit-identical votes)
+            live = [aln.tags[a] for a in rec_idx
+                    if aln.tags[a] is not None and len(aln.tags[a])]
+            tg = (np.concatenate(live) if live
+                  else np.zeros((0, 3), np.int32))
+            blocks, seg = self._vote_ops.blocks(
+                tg[:, 0], tg[:, 1], tg[:, 2], t_len=t_len,
+                window=cfg.window)
+
+            def vslice(lo, hi):
+                s = lo // seg
+                off = lo - s * seg
+                return blocks[s, off : off + (hi - lo)]
+        else:
+            votes_full = vote_matrix([aln.tags[a] for a in rec_idx], t_len)
+
+            def vslice(lo, hi):
+                return votes_full[lo:hi]
+
         rec_start = aln.t_start[rec_idx]
         rec_end = aln.t_end[rec_idx]
 
@@ -188,7 +218,7 @@ class Polisher:
         lo = 0
         while lo < t_len:
             hi = min(t_len, lo + cfg.window)
-            votes = votes_full[lo:hi]
+            votes = vslice(lo, hi)
             cns, _cov, cns_of_t = self._vote_consensus(votes,
                                                        template[lo:hi])
             segs = []

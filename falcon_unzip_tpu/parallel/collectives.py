@@ -73,6 +73,63 @@ def make_regroup(mesh: Mesh, *, cap: int, feat: int):
     return jax.jit(sharded)
 
 
+def regroup_partition(ctg_ids: np.ndarray, n_groups: int,
+                      mesh: Mesh | None = None) -> list[np.ndarray]:
+    """Partition row indices by group (contig) id through the mesh
+    all_to_all regroup — the production entry of make_regroup.
+
+    Role parity: the reference's two-stage `max_n_open_files` BAM
+    partition (SURVEY.md §2c row 5) — each read's record is routed to
+    its contig-owner device (owner = ctg % n_dev) by the shard_map
+    all_to_all; the returned per-group row lists are read back from the
+    owner shards and restored to input order, so consumers emit
+    byte-identical partitions to a host scan.
+
+    Returns a list of n_groups int64 index arrays.  Falls back to a
+    host groupby when fewer than 2 devices are visible.
+    """
+    import jax
+
+    ctg_ids = np.asarray(ctg_ids, np.int64)
+    n = len(ctg_ids)
+    if mesh is None and len(jax.devices()) >= 2:
+        from .mesh import make_mesh
+        mesh = make_mesh()
+    if mesh is None or n == 0:
+        return [np.nonzero(ctg_ids == g)[0] for g in range(n_groups)]
+
+    n_dev = int(np.prod([mesh.shape[a] for a in ALL]))
+    rows_per_shard = -(-n // n_dev)
+    pad = n_dev * rows_per_shard - n
+    payload = np.stack([np.arange(n, dtype=np.int64),
+                        ctg_ids], axis=1).astype(np.int32)
+    owner = np.where(ctg_ids >= 0, ctg_ids % n_dev, -1).astype(np.int32)
+    if pad:
+        payload = np.concatenate(
+            [payload, np.full((pad, 2), -1, np.int32)])
+        owner = np.concatenate([owner, np.full(pad, -1, np.int32)])
+
+    cap = max(8, 2 * rows_per_shard)
+    while True:
+        recv, counts, dropped = make_regroup(mesh, cap=cap, feat=2)(
+            payload, owner)
+        if int(np.asarray(dropped).sum()) == 0:
+            break
+        cap *= 2          # capacity overflow: retry with a larger cap
+    recv = np.asarray(recv).reshape(n_dev, n_dev, cap, 2)
+    counts = np.asarray(counts).reshape(n_dev, n_dev)
+    groups: list[list[np.ndarray]] = [[] for _ in range(n_groups)]
+    for dst in range(n_dev):
+        for src in range(n_dev):
+            rows = recv[dst, src, : counts[dst, src]]
+            for g in range(dst, n_groups, n_dev):
+                sel = rows[:, 1] == g
+                if sel.any():
+                    groups[g].append(rows[sel, 0].astype(np.int64))
+    return [np.sort(np.concatenate(g)) if g else
+            np.zeros(0, np.int64) for g in groups]
+
+
 def make_halo_exchange(mesh: Mesh, *, halo: int):
     """Ring halo exchange over the 'window' axis.
 

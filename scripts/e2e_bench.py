@@ -16,6 +16,46 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _truth_qv(cns_path: str, haps: list) -> float | None:
+    """Mean phred QV of polished contigs vs the SIMULATED TRUTH
+    (north-star metric 3): exact-substring -> QV 60; otherwise banded
+    re-alignment of the contig onto every true haplotype, QV from the
+    best error rate."""
+    import numpy as np
+
+    from falcon_unzip_tpu.io.fasta import read_fasta
+    from falcon_unzip_tpu.models.aligner import (AlignerConfig,
+                                                 ReadToContigAligner)
+    from falcon_unzip_tpu.seq import decode
+
+    batch = read_fasta(cns_path)
+    if not len(batch):
+        return None
+    hap_strs = [decode(h) for h in haps]
+    qvs: list[float] = []
+    residual = []
+    for i in range(len(batch)):
+        s = batch.to_str(i)
+        if any(s in h for h in hap_strs):
+            qvs.append(60.0)
+        else:
+            residual.append(i)
+    if residual:
+        from falcon_unzip_tpu.seq import SeqBatch
+        sub = SeqBatch.from_strs([batch.to_str(i) for i in residual])
+        al = ReadToContigAligner(haps, AlignerConfig(band=512))
+        res = al.align_batch(sub)
+        best: dict[int, float] = {}
+        for a in range(len(res)):
+            rid = int(res.read_id[a])
+            span = max(int(res.t_end[a] - res.t_start[a]), 1)
+            best[rid] = min(best.get(rid, 1.0), int(res.dist[a]) / span)
+        for rid in range(len(sub)):
+            err = best.get(rid, 1.0)
+            qvs.append(float(min(60.0, -10.0 * np.log10(max(err, 1e-6)))))
+    return round(float(np.mean(qvs)), 1)
+
+
 def main():
     genome_bp = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
     coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 14.0

@@ -72,3 +72,16 @@ def test_overlap_dump_roundtrip(tmp_path):
     for f in ("a_id", "b_id", "strand", "a_start", "a_end",
               "b_start", "b_end", "a_len", "b_len"):
         assert np.array_equal(getattr(back, f), getattr(ovl, f)), f
+
+
+def test_regroup_partition_matches_host_groupby(mesh8):
+    """regroup_partition must reproduce the host groupby exactly
+    (per-group indices in input order) for uneven group sizes."""
+    from falcon_unzip_tpu.parallel.collectives import regroup_partition
+    rng = np.random.default_rng(3)
+    n_groups = 5
+    ctg = rng.integers(-1, n_groups, 203).astype(np.int64)
+    got = regroup_partition(ctg, n_groups, mesh8)
+    for g in range(n_groups):
+        np.testing.assert_array_equal(got[g], np.nonzero(ctg == g)[0],
+                                      err_msg=f"group {g}")
