@@ -85,6 +85,10 @@ class PolishCfg:
 class MeshCfg:
     n_devices: int = 0           # 0 = all available
     window_par: int = 0          # 0 = auto
+    # sharding-invariant debug mode (SURVEY.md §5 race detection): every
+    # mesh-sharded op re-executes its single-device reference and
+    # asserts equality (parallel.debug); also FALCON_UNZIP_TPU_DEBUG_SHARDING=1
+    debug_sharding: bool = False
     # multi-host (jax.distributed) execution: when true the drivers call
     # parallel.distributed.initialize() (coordinator/process env vars or
     # TPU pod metadata), host-shard the aligner/overlapper input, run the

@@ -238,19 +238,35 @@ class ShardedPhaseOps:
         pos = np.asarray(pos, np.int32)
         base = np.asarray(base, np.int32)
         B = _bucket(len(pos), self.n_dev)
-        return np.asarray(self._pileup_fn(t_len)(
-            _global_rows(_pad_to(pos, B, -1), self.mesh, P(ALL)),
-            _global_rows(_pad_to(base, B, 0), self.mesh, P(ALL))))
+        gp = _global_rows(_pad_to(pos, B, -1), self.mesh, P(ALL))
+        gb = _global_rows(_pad_to(base, B, 0), self.mesh, P(ALL))
+        out = np.asarray(self._pileup_fn(t_len)(gp, gb))
+        from . import debug
+        if debug.enabled():
+            from ..ops.pileup import pileup_scatter
+            debug.check_spec("pileup.pos", gp, P(ALL))
+            debug.check_equal(
+                "pileup", out,
+                np.asarray(pileup_scatter(pos, base, t_len=t_len)))
+        return out
 
     def association(self, M, *, max_span: int):
-        M = np.asarray(M, np.int8)
+        M0 = np.asarray(M, np.int8)
+        M = M0
         B = _bucket(M.shape[0], self.n_dev)
         pad = B - M.shape[0]
         if pad:  # zero rows contribute nothing to score or cov
             M = np.concatenate([M, np.zeros((pad, M.shape[1]), np.int8)])
         score, cov = self._assoc_fn(max_span)(
             _global_rows(M, self.mesh, P(ALL, None)))
-        return np.asarray(score), np.asarray(cov)
+        score, cov = np.asarray(score), np.asarray(cov)
+        from . import debug
+        if debug.enabled():
+            from ..ops.association import association_band_device
+            rs, rc = association_band_device(M0, max_span=max_span)
+            debug.check_equal("association.score", score, rs)
+            debug.check_equal("association.cov", cov, rc)
+        return score, cov
 
 
 class ShardedPairHMMScorer:
@@ -316,7 +332,19 @@ class ShardedPairHMMScorer:
             _global_rows(np.asarray(m), mesh, P(ALL)),
             _global_repl(np.asarray(lo), mesh),
             _global_repl(np.asarray(self.pvec), mesh))
-        return np.asarray(ll)[:Pn]
+        out = np.asarray(ll)[:Pn]
+        from . import debug
+        if debug.enabled():
+            from ..ops.pairhmm import forward_core
+            import functools as _ft
+            import jax as _jax
+            ref = np.asarray(_jax.jit(_ft.partial(
+                forward_core, W=self.W, Lt=Lt, G=G))(
+                    jnp.asarray(qg[:Pn]), jnp.asarray(trg[:Pn]),
+                    jnp.asarray(n[:Pn]), jnp.asarray(m[:Pn]),
+                    jnp.asarray(lo), jnp.asarray(self.pvec)))
+            debug.check_equal("pairhmm.ll", out, ref, atol=1e-4)
+        return out
 
 
 class ShardedWindowVotes:
@@ -396,7 +424,15 @@ class ShardedWindowVotes:
         _left, right = self._halo_fn(seg, window)(flat)
         v_np = np.asarray(votes).reshape(self.nw, seg, self.D, 5)
         r_np = np.asarray(right).reshape(self.nw, window, self.D, 5)
-        return np.concatenate([v_np, r_np], axis=1), seg
+        blocks = np.concatenate([v_np, r_np], axis=1)
+        from . import debug
+        if debug.enabled():
+            from ..ops.consensus import vote_matrix
+            tags = np.stack([pos, delta, base], axis=1)
+            ref = vote_matrix([tags], t_len)
+            full = v_np.reshape(self.nw * seg, self.D, 5)[:t_len]
+            debug.check_equal("window_votes", full, ref)
+        return blocks, seg
 
 
 def make_pipeline_mesh(n_devices: int = 0, window_par: int = 0):

@@ -42,6 +42,9 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
     # ---- multi-host (see pipeline.unzip): canonical 3-unzip inputs are
     # always read from host 0's out_dir; non-primary hosts write scratch
     from ..parallel import distributed as dist
+    if cfg.mesh.debug_sharding:
+        from ..parallel import debug
+        debug.enable(True)
     if cfg.mesh.multihost:
         dist.initialize()
     multi = dist.process_count() > 1

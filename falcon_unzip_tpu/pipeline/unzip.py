@@ -52,6 +52,9 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
     # overlap candidates, sharded device steps) is host/device-sharded,
     # and only host 0 writes the canonical artifacts (SURVEY.md §2c)
     from ..parallel import distributed as dist
+    if cfg.mesh.debug_sharding:
+        from ..parallel import debug
+        debug.enable(True)
     if cfg.mesh.multihost:
         dist.initialize()
     multi = dist.process_count() > 1

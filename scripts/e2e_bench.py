@@ -75,9 +75,11 @@ def main():
 
     t0 = time.perf_counter()
     pread_names, pread_seqs, raw_names, raw_seqs, drafts = [], [], [], [], []
+    true_haps = []
     for ci in range(n_ctg):
         dip = make_diploid(length=per, het_rate=0.012, seed=100 + ci,
                            het_span=(0.2, 0.8))
+        true_haps += [dip.hap0, dip.hap1]
         pr = simulate_reads(dip, coverage=coverage, read_len=2200,
                             error_rate=0.0, seed=200 + ci)
         rw = simulate_reads(dip, coverage=coverage + 4, read_len=1800,
@@ -103,6 +105,8 @@ def main():
 
     import jax
     total = unzip_s + polish_s
+    qv_p = _truth_qv(f"{d}/out/4-polish/cns_p_ctg.fasta", true_haps)
+    qv_h = _truth_qv(f"{d}/out/4-polish/cns_h_ctg.fasta", true_haps)
     print(json.dumps({
         "metric": "e2e_unzip_polish_wall_s",
         "genome_bp": genome_bp,
@@ -116,6 +120,7 @@ def main():
         "genome_bases_per_sec": round(genome_bp / total, 1),
         "p_ctg": u["p_ctg"], "h_ctg": u["h_ctg"],
         "mean_qv": q.get("mean_qv"),
+        "truth_qv_p": qv_p, "truth_qv_h": qv_h,
     }))
 
 
