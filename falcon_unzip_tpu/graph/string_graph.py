@@ -293,7 +293,57 @@ class StringGraph:
                 self._node_str(path[-1], names),
                 "simple", length, len(path) - 1,
                 "~".join(self._node_str(n, names) for n in path)))
+        # bubble records ([U] utg_data "compound" rows): a branch whose
+        # arms reconverge is one record naming every arm, so downstream
+        # consumers see haplotype bubbles as graph objects, not just as
+        # the haplotig walker's private state (SURVEY.md §2a phased
+        # string graph row)
+        seen_b: set[tuple[int, int]] = set()
+        for src, dst, arms in self.bubbles():
+            key = min((src, dst), (mirror(dst), mirror(src)))
+            if key in seen_b:
+                continue
+            seen_b.add(key)
+            arm_lens = [sum(self.ext_len(self.edges[u][v])
+                            for u, v in zip(a, a[1:])) for a in arms]
+            recs.append((
+                self._node_str(src, names), "~",
+                self._node_str(dst, names),
+                "compound", max(arm_lens),
+                sum(len(a) - 1 for a in arms),
+                "|".join("~".join(self._node_str(n, names) for n in a)
+                         for a in arms)))
         return recs
+
+    def bubbles(self, max_steps: int = 64):
+        """Simple bubbles: (src, dst, arms) where every out-branch of a
+        junction node follows simple nodes to the SAME reconvergence
+        junction.  Arms include both endpoints."""
+        out = []
+        for u in sorted(self.edges):
+            if self.out_degree(u) < 2:
+                continue
+            arms = []
+            ends = set()
+            ok = True
+            for v in sorted(self.edges[u]):
+                arm = [u, v]
+                steps = 0
+                while (self.out_degree(arm[-1]) == 1
+                       and self.in_degree(arm[-1]) == 1
+                       and steps < max_steps):
+                    arm.append(next(iter(self.edges[arm[-1]])))
+                    steps += 1
+                if steps >= max_steps or arm[-1] == u:
+                    ok = False
+                    break
+                arms.append(arm)
+                ends.add(arm[-1])
+            if ok and len(ends) == 1 and len(arms) >= 2:
+                dst = next(iter(ends))
+                if self.in_degree(dst) == len(arms):
+                    out.append((u, dst, arms))
+        return out
 
     def write_utg_data(self, path: str,
                        names: list[str] | None = None) -> None:
