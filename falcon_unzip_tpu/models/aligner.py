@@ -216,7 +216,15 @@ class ReadToContigAligner:
                         continue
                     jobs.append((rid, h.strand, h.ctg, lo, hi, q))
 
-        # 2) bucket jobs by padded shapes and run the device DP
+        # 2) bucket jobs by padded shapes and run the device DP.
+        # The target bucket TRACKS the query bucket (bt = bq + 512*j)
+        # instead of being an independent power of two: the DP window is
+        # always ~len(q) + pads, so this collapses the kernel shape set
+        # to ~one per query bucket — decisive when each distinct Pallas
+        # shape pays a serialized (uncached) server-side Mosaic compile
+        # on the tunneled TPU (measured: shape compiles, not kernels,
+        # dominated unzip wall-clock).  Padding is inert to results
+        # (PAD chars never match; end extraction uses true lengths).
         out = {k: [] for k in
                ("read_id", "ctg", "strand", "t_start", "t_end",
                 "q_len", "dist")}
@@ -224,7 +232,7 @@ class ReadToContigAligner:
         buckets: dict[tuple[int, int], list[int]] = {}
         for ji, (_, _, _, lo, hi, q) in enumerate(jobs):
             bq = _bucket(len(q))
-            bt = _bucket(hi - lo)
+            bt = _t_bucket(hi - lo, bq)
             buckets.setdefault((bq, bt), []).append(ji)
 
         aligner = self._aligner()
@@ -304,3 +312,10 @@ def _bucket(n: int, minimum: int = 256) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _t_bucket(t_len: int, bq: int, step: int = 512) -> int:
+    """Smallest bq + step*j (j >= 1) covering t_len: the target bucket
+    follows the query bucket so each query bucket compiles ONE kernel
+    shape instead of a grid of (bq, bt) combinations."""
+    return bq + step * max(1, -(-max(t_len - bq, 1) // step))

@@ -69,7 +69,11 @@ class FalconSense:
         tags_list = []
         buckets: dict[tuple[int, int], list[int]] = {}
         for ji, (lo, hi, r) in enumerate(jobs):
-            buckets.setdefault((_bucket(len(r)), _bucket(hi - lo)),
+            bq = _bucket(len(r))
+            # target bucket tracks the query bucket: one kernel shape
+            # per query bucket (see models.aligner._t_bucket)
+            from .aligner import _t_bucket
+            buckets.setdefault((bq, _t_bucket(hi - lo, bq)),
                                []).append(ji)
         # two-phase async: dispatch all chunks, then collect (see
         # models.aligner — avoids one blocking device round trip per chunk)

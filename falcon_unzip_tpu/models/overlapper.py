@@ -170,11 +170,14 @@ class PreadOverlapper:
             jobs.append((a, b, strand, a_lo, ov, t_lo, t_hi, q,
                          rb[t_lo:t_hi]))
 
-        # bucketed batched DP
+        # bucketed batched DP; the target bucket tracks the query bucket
+        # (see models.aligner: one kernel shape per query bucket, so the
+        # serialized remote Mosaic compile runs once per bucket, not per
+        # (bq, bt) combination)
         buckets: dict[tuple[int, int], list[int]] = {}
         for ji, j in enumerate(jobs):
             bq = _bucket(len(j[7]))
-            bt = _bucket(len(j[8]))
+            bt = _t_bucket(len(j[8]), bq)
             buckets.setdefault((bq, bt), []).append(ji)
         # two-phase async: dispatch all chunks, then collect (see
         # models.aligner — avoids one blocking device round trip per chunk)
@@ -257,3 +260,8 @@ def _bucket(n: int, minimum: int = 256) -> int:
     while b < n:
         b *= 2
     return b
+
+
+def _t_bucket(t_len: int, bq: int, step: int = 512) -> int:
+    """See models.aligner._t_bucket: one kernel shape per query bucket."""
+    return bq + step * max(1, -(-max(t_len - bq, 1) // step))
