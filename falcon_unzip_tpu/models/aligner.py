@@ -229,13 +229,12 @@ class ReadToContigAligner:
                ("read_id", "ctg", "strand", "t_start", "t_end",
                 "q_len", "dist")}
         tags_out: list[np.ndarray] = []
+        aligner = self._aligner()
         buckets: dict[tuple[int, int], list[int]] = {}
         for ji, (_, _, _, lo, hi, q) in enumerate(jobs):
-            bq = _bucket(len(q))
+            bq = _q_bucket(len(q), aligner.use_pallas)
             bt = _t_bucket(hi - lo, bq)
             buckets.setdefault((bq, bt), []).append(ji)
-
-        aligner = self._aligner()
         # two-phase async: dispatch every chunk's device program first
         # (uploads/kernels/downloads of consecutive chunks overlap), then
         # collect in order — one pipeline instead of a blocking round trip
@@ -314,8 +313,25 @@ def _bucket(n: int, minimum: int = 256) -> int:
     return b
 
 
-def _t_bucket(t_len: int, bq: int, step: int = 512) -> int:
+def _q_bucket(n: int, use_pallas: bool) -> int:
+    """Query bucket: pow2 from 256 on the XLA path; on the Pallas path a
+    canonical 4096 floor with pow4 growth above it (long queries —
+    haplotig placement — mint the most expensive remote Mosaic compiles,
+    so the shape ladder above the floor is deliberately sparse)."""
+    if not use_pallas:
+        return _bucket(n)
+    b = 4096
+    while b < n:
+        b *= 4
+    return b
+
+
+def _t_bucket(t_len: int, bq: int, step: int = 0) -> int:
     """Smallest bq + step*j (j >= 1) covering t_len: the target bucket
     follows the query bucket so each query bucket compiles ONE kernel
-    shape instead of a grid of (bq, bt) combinations."""
+    shape instead of a grid of (bq, bt) combinations.  The step scales
+    with the query bucket (bq/8, floor 512) so long-target windows
+    (haplotig placement on a full contig) stay on a sparse ladder."""
+    if step == 0:
+        step = max(512, bq // 8)
     return bq + step * max(1, -(-max(t_len - bq, 1) // step))

@@ -69,10 +69,10 @@ class FalconSense:
         tags_list = []
         buckets: dict[tuple[int, int], list[int]] = {}
         for ji, (lo, hi, r) in enumerate(jobs):
-            bq = _bucket(len(r))
-            # target bucket tracks the query bucket: one kernel shape
-            # per query bucket (see models.aligner._t_bucket)
-            from .aligner import _t_bucket
+            # target bucket tracks the query bucket + canonical Pallas
+            # ladder: one kernel shape per module (models.aligner notes)
+            from .aligner import _q_bucket, _t_bucket
+            bq = _q_bucket(len(r), self._aligner.use_pallas)
             buckets.setdefault((bq, _t_bucket(hi - lo, bq)),
                                []).append(ji)
         # two-phase async: dispatch all chunks, then collect (see

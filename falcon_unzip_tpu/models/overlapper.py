@@ -171,12 +171,13 @@ class PreadOverlapper:
                          rb[t_lo:t_hi]))
 
         # bucketed batched DP; the target bucket tracks the query bucket
-        # (see models.aligner: one kernel shape per query bucket, so the
-        # serialized remote Mosaic compile runs once per bucket, not per
-        # (bq, bt) combination)
+        # and the Pallas path uses the sparse canonical ladder (one
+        # serialized remote Mosaic compile per SHAPE — see
+        # models.aligner._q_bucket/_t_bucket notes)
+        from .aligner import _q_bucket
         buckets: dict[tuple[int, int], list[int]] = {}
         for ji, j in enumerate(jobs):
-            bq = _bucket(len(j[7]))
+            bq = _q_bucket(len(j[7]), aligner.use_pallas)
             bt = _t_bucket(len(j[8]), bq)
             buckets.setdefault((bq, bt), []).append(ji)
         # two-phase async: dispatch all chunks, then collect (see

@@ -25,7 +25,10 @@ from .aligner import AlnSet
 
 
 def _round128(x: int) -> int:
-    return max(128, -(-x // 128) * 128)
+    # quantized to 512 (not 128): scoring-batch shapes stay constant
+    # across refinement rounds/windows, so the Pallas pair-HMM compiles
+    # once per polish run instead of per max-segment-length drift
+    return max(512, -(-x // 512) * 512)
 
 
 @dataclasses.dataclass

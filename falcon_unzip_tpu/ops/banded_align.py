@@ -306,6 +306,12 @@ def anchor_trim(q: np.ndarray, t_win: np.ndarray, moves: np.ndarray,
     }
 
 
+# every distinct tuple here is one (expensive, serialized) kernel
+# compile on the remote-Mosaic TPU path; populated for observability —
+# scripts/e2e_bench.py reports len() so shape-space regressions are loud
+PALLAS_SHAPES: set = set()
+
+
 def _on_tpu() -> bool:
     import jax
     try:
@@ -379,8 +385,13 @@ class BandedAligner:
         from .pallas_align import pallas_banded_align
         P = q.shape[0]
         # bigger blocks amortize the per-antidiagonal step cost (measured:
-        # 4x pairs cost ~1.1x wall at these shapes)
-        PB = 256 if P % 256 == 0 else (128 if P >= 128 else -(-P // 8) * 8)
+        # 4x pairs cost ~1.1x wall at these shapes).  PB comes from a
+        # FIXED three-value ladder and P pads up to a multiple of it: an
+        # exact-P block size would mint a fresh kernel shape per odd
+        # tail chunk, and every distinct Pallas shape pays a serialized
+        # uncached server-side Mosaic compile on the tunneled TPU
+        # (measured: shape compiles dominate cold unzip wall-clock).
+        PB = 256 if P > 128 else (128 if P > 64 else 64)
         pad = (-P) % PB
         if pad:
             q = np.concatenate([q, np.tile(q[-1:], (pad, 1))])
@@ -389,6 +400,7 @@ class BandedAligner:
                                                        pad)])
             m = np.concatenate([np.asarray(m), np.tile(np.asarray(m)[-1:],
                                                        pad)])
+        PALLAS_SHAPES.add(("edit", self.W, Lq, Lt, PB, self.mode))
         qg, trg, G = prepare_batch(q, t, self.W)
         # stay int8 on the host: the device widens to int32 inside the
         # jit (4x smaller RPC upload through the tunnel)

@@ -242,13 +242,18 @@ class PallasPairHMMScorer:
                  n: np.ndarray, m: np.ndarray) -> np.ndarray:
         P, Lq = q.shape
         Lt = t.shape[1]
-        PB = min(self.PB, P)
+        # fixed block-size ladder (see ops.banded_align._pallas_call):
+        # an exact-P block would compile a fresh Mosaic kernel per odd
+        # batch size on the remote-compile TPU path
+        PB = min(self.PB, 256 if P > 128 else (128 if P > 64 else 64))
         pad = (-P) % PB
         if pad:
             q = np.concatenate([q, np.tile(q[-1:], (pad, 1))])
             t = np.concatenate([t, np.tile(t[-1:], (pad, 1))])
             n = np.concatenate([n, np.tile(n[-1:], pad)])
             m = np.concatenate([m, np.tile(m[-1:], pad)])
+        from .banded_align import PALLAS_SHAPES
+        PALLAS_SHAPES.add(("hmm", self.W, Lq, Lt, PB))
         qg, trg, G = prepare_batch(q, t, self.W)
         # int32 chars (int8 costs a relayout per load + no 8-bit rotate);
         # extra slack columns for the aligned 2-tile in-kernel windows

@@ -104,6 +104,8 @@ def main():
     polish_s = time.perf_counter() - t0
 
     import jax
+
+    from falcon_unzip_tpu.ops.banded_align import PALLAS_SHAPES
     total = unzip_s + polish_s
     qv_p = _truth_qv(f"{d}/out/4-polish/cns_p_ctg.fasta", true_haps)
     qv_h = _truth_qv(f"{d}/out/4-polish/cns_h_ctg.fasta", true_haps)
@@ -121,6 +123,9 @@ def main():
         "p_ctg": u["p_ctg"], "h_ctg": u["h_ctg"],
         "mean_qv": q.get("mean_qv"),
         "truth_qv_p": qv_p, "truth_qv_h": qv_h,
+        # each distinct Pallas shape = one serialized remote Mosaic
+        # compile; keep this SMALL (see models.aligner bucket notes)
+        "n_pallas_shapes": len(PALLAS_SHAPES),
     }))
 
 

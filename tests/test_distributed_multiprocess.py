@@ -67,6 +67,11 @@ cfg = PipelineConfig(preads=f"{d}/preads.fa", reads=f"{d}/raw.fa",
 cfg.mesh.multihost = True      # initialize() from JAX_* env vars
 run_unzip(cfg)
 run_quiver(cfg)
+# resume pass: every stage must SKIP identically on every host (the
+# sync_stage_done broadcast) — a divergent decision would deadlock in
+# the first collective and trip the test timeout
+run_unzip(cfg)
+run_quiver(cfg)
 print(f"WORKER-OK process={jax.process_index()}", flush=True)
 """
 
