@@ -306,6 +306,99 @@ class ReadToContigAligner:
         ).sort_canonical()
 
 
+@dataclasses.dataclass
+class LongAln:
+    """Columnar result of chunk-sampled long-query alignment."""
+
+    read_id: np.ndarray   # (A,) int32
+    ctg: np.ndarray       # (A,) int32
+    strand: np.ndarray    # (A,) int8
+    t_start: np.ndarray   # (A,) int64  union interval on the target
+    t_end: np.ndarray     # (A,) int64
+    q_len: np.ndarray     # (A,) int32
+    dist: np.ndarray      # (A,) int32  summed chunk edit distance
+    span: np.ndarray      # (A,) int32  summed chunk aligned span
+
+    def __len__(self):
+        return len(self.read_id)
+
+    def identity(self) -> np.ndarray:
+        return 1.0 - self.dist / np.maximum(self.span, 1)
+
+
+def align_long_queries(aligner: "ReadToContigAligner", batch: SeqBatch,
+                       chunk: int = 4096, max_chunks: int = 8) -> LongAln:
+    """Place LONG queries (haplotigs, contigs) by chunk sampling.
+
+    A whole-contig banded DP with traceback materializes an
+    O(Dmax * PB * W) backpointer tensor — an 18 GB allocation for a 65k
+    query at W=512 (observed OOM on the 1 Mb e2e).  Placement and dedup
+    only need the mapped INTERVAL and a sampled identity, so each query
+    is aligned as <= max_chunks head/tail/interior chunks of `chunk`
+    bases — every job lands in the standard canonical kernel shape —
+    and the per-query interval is the union of its chunk intervals on
+    the majority contig (strand from the head chunk).
+    """
+    jobs_per_q: list[list[int]] = []
+    offs: list[int] = []
+    seqs: list[np.ndarray] = []
+    for qi in range(len(batch)):
+        r = batch.row(qi)
+        L = len(r)
+        if L <= chunk:
+            starts = [0]
+        else:
+            n_ch = min(max_chunks, max(2, -(-L // chunk)))
+            starts = list(np.unique(np.linspace(
+                0, L - chunk, n_ch).astype(np.int64)))
+        jobs_per_q.append(list(range(len(offs),
+                                     len(offs) + len(starts))))
+        for s in starts:
+            offs.append(int(s))
+            seqs.append(r[s : s + chunk])
+    from ..seq import round_up
+    lmax = round_up(max((len(s) for s in seqs), default=1), 128)
+    data = np.full((len(seqs), lmax), PAD, np.int8)
+    lengths = np.zeros(len(seqs), np.int32)
+    for i, s in enumerate(seqs):
+        data[i, : len(s)] = s
+        lengths[i] = len(s)
+    sub = SeqBatch(data=data, lengths=lengths,
+                   names=[f"chunk/{i}" for i in range(len(seqs))])
+    aln = aligner.align_batch(sub)
+
+    by_chunk: dict[int, int] = {}
+    for a in range(len(aln)):
+        by_chunk.setdefault(int(aln.read_id[a]), a)
+    cols = {k: [] for k in ("read_id", "ctg", "strand", "t_start",
+                            "t_end", "q_len", "dist", "span")}
+    for qi, jids in enumerate(jobs_per_q):
+        hits = [(j, by_chunk[j]) for j in jids if j in by_chunk]
+        if not hits:
+            continue
+        ctgs = [int(aln.ctg[a]) for _, a in hits]
+        ctg = max(set(ctgs), key=ctgs.count)      # majority contig
+        hits = [(j, a) for (j, a) in hits if int(aln.ctg[a]) == ctg]
+        cols["read_id"].append(qi)
+        cols["ctg"].append(ctg)
+        cols["strand"].append(int(aln.strand[hits[0][1]]))
+        cols["t_start"].append(min(int(aln.t_start[a]) for _, a in hits))
+        cols["t_end"].append(max(int(aln.t_end[a]) for _, a in hits))
+        cols["q_len"].append(int(batch.lengths[qi]))
+        cols["dist"].append(sum(int(aln.dist[a]) for _, a in hits))
+        cols["span"].append(sum(int(aln.t_end[a] - aln.t_start[a])
+                                for _, a in hits))
+    return LongAln(
+        read_id=np.array(cols["read_id"], np.int32),
+        ctg=np.array(cols["ctg"], np.int32),
+        strand=np.array(cols["strand"], np.int8),
+        t_start=np.array(cols["t_start"], np.int64),
+        t_end=np.array(cols["t_end"], np.int64),
+        q_len=np.array(cols["q_len"], np.int32),
+        dist=np.array(cols["dist"], np.int32),
+        span=np.array(cols["span"], np.int32))
+
+
 def _bucket(n: int, minimum: int = 256) -> int:
     b = minimum
     while b < n:

@@ -24,13 +24,16 @@ def dedup_haplotigs(p_batch: SeqBatch, h_batch: SeqBatch,
     contigs = [p_batch.row(i) for i in range(len(p_batch))]
     al = ReadToContigAligner(contigs, AlignerConfig(
         band=512, min_identity=0.0, max_hits_per_read=1))
-    aln = al.align_batch(h_batch)
+    # chunk-sampled identity + union interval: a whole-haplotig
+    # traceback DP OOMs past ~30kb (models.aligner.align_long_queries)
+    from .aligner import align_long_queries
+    aln = align_long_queries(al, h_batch)
+    ident = aln.identity()
     drop: set[int] = set()
     for a in range(len(aln)):
         rid = int(aln.read_id[a])
         span = int(aln.t_end[a] - aln.t_start[a])
-        idt = 1.0 - aln.dist[a] / max(span, 1)
-        if (idt >= max_identity
+        if (ident[a] >= max_identity
                 and span >= min_span_frac * int(h_batch.lengths[rid])):
             drop.add(rid)
     return [i for i in range(len(h_batch)) if i not in drop]

@@ -209,8 +209,9 @@ def place_haplotigs(p_ctg, h_ctg: list["Haplotig"], *, band: int = 512,
     p_ctg: [(name, seq, reads)]; h_ctg: Haplotig list (mutated in place).
     """
     from ..seq import SeqBatch
-    from ..coords import aln_to_m4
-    from .aligner import AlignerConfig, ReadToContigAligner
+    from ..coords import M4Record
+    from .aligner import AlignerConfig, ReadToContigAligner, \
+        align_long_queries
 
     records = []
     by_primary: dict[str, list[Haplotig]] = {}
@@ -225,14 +226,25 @@ def place_haplotigs(p_ctg, h_ctg: list["Haplotig"], *, band: int = 512,
             # haplotigs are long: one placement, generous repeat filter
             max_hits=256))
         batch = SeqBatch.from_strs([h.seq for h in hs])
-        aln = al.align_batch(batch)
-        m4 = aln_to_m4(aln, read_names=[h.name for h in hs],
-                       ctg_names=[pname], ctg_lens=[len(pseq)])
-        records.extend(m4)
+        # chunk-sampled: whole-haplotig traceback DP is O(Dmax*PB*W)
+        # device memory and OOMs past ~30kb (see align_long_queries)
+        aln = align_long_queries(al, batch)
+        ident = aln.identity()
         for a in range(len(aln)):
+            if ident[a] < min_identity:
+                continue
             h = hs[int(aln.read_id[a])]
             h.p_start = int(aln.t_start[a])
             h.p_end = int(aln.t_end[a])
+            records.append(M4Record(
+                q_name=h.name, t_name=pname,
+                score=-int(aln.span[a] - aln.dist[a]),
+                identity=float(100.0 * ident[a]),
+                q_strand=0, q_start=0, q_end=int(aln.q_len[a]),
+                q_len=int(aln.q_len[a]),
+                t_strand=int(aln.strand[a]),
+                t_start=int(aln.t_start[a]), t_end=int(aln.t_end[a]),
+                t_len=len(pseq)))
     return records
 
 

@@ -47,3 +47,18 @@ def test_unaligned_haplotig_keeps_walk_estimate():
     m4 = place_haplotigs([("p", p_seq, [])], [h])
     assert m4 == [] or all(r.q_name != "h" for r in m4)
     assert (h.p_start, h.p_end) == (111, 222)
+
+
+def test_long_haplotig_chunked_placement():
+    """30kb haplotig on a 60kb primary: placement must come from the
+    chunk-sampled path (a whole-contig traceback DP OOMs on device) and
+    still land within seed fuzz of the true interval."""
+    dip = make_diploid(length=60000, het_rate=0.01, seed=21,
+                       het_span=(0.2, 0.8))
+    lo, hi = 15000, 45000
+    h = Haplotig(name="h", seq=dip.hap1[lo:hi].copy(), primary="p",
+                 p_start=0, p_end=0, reads=[], phase=1)
+    m4 = place_haplotigs([("p", dip.hap0, [])], [h])
+    assert len(m4) == 1
+    assert abs(h.p_start - lo) <= 128 and abs(h.p_end - hi) <= 128
+    assert m4[0].identity > 95.0
