@@ -240,18 +240,24 @@ class ReadToContigAligner:
         # collect in order — one pipeline instead of a blocking round trip
         # per chunk
         pending = []  # (chunk, n_real, handle)
+        # the Pallas grid handles any multiple of the block size, so TPU
+        # chunks are 2x bigger: fewer dispatch/fetch round trips through
+        # the relay (fetch LATENCY dominates, not kernel time); bigger
+        # multiples OOM — the traceback consumes the (Dmax, P, W) int8
+        # backpointer tensor, ~2.4 GB per 512 pairs at the 4096 bucket
+        chunk_pairs = cfg.batch_pairs * (2 if aligner.use_pallas else 1)
         for (bq, bt), jidx in sorted(buckets.items()):
-            for s in range(0, len(jidx), cfg.batch_pairs):
-                chunk = jidx[s : s + cfg.batch_pairs]
+            for s in range(0, len(jidx), chunk_pairs):
+                chunk = jidx[s : s + chunk_pairs]
                 P = len(chunk)
                 # pad the tail chunk to the full batch (repeat last job,
                 # results discarded) so each bucket compiles exactly ONE
                 # device shape — ragged tails would each trigger a fresh
                 # (serialized, expensive) kernel compile
                 n_real = P
-                if P < cfg.batch_pairs and s > 0:
-                    chunk = chunk + [chunk[-1]] * (cfg.batch_pairs - P)
-                    P = cfg.batch_pairs
+                if P < chunk_pairs and s > 0:
+                    chunk = chunk + [chunk[-1]] * (chunk_pairs - P)
+                    P = chunk_pairs
                 qa = np.full((P, bq), PAD, np.int8)
                 ta = np.full((P, bt), PAD, np.int8)
                 nn = np.zeros(P, np.int32)

@@ -78,9 +78,13 @@ class FalconSense:
         # two-phase async: dispatch all chunks, then collect (see
         # models.aligner — avoids one blocking device round trip per chunk)
         pending = []  # (chunk, handle)
+        # 2x chunks on the Pallas path: fewer relay round trips (see
+        # models.aligner)
+        chunk_pairs = cfg.batch_pairs * \
+            (2 if self._aligner.use_pallas else 1)
         for (bq, bt), jidx in sorted(buckets.items()):
-            for s in range(0, len(jidx), cfg.batch_pairs):
-                chunk = jidx[s : s + cfg.batch_pairs]
+            for s in range(0, len(jidx), chunk_pairs):
+                chunk = jidx[s : s + chunk_pairs]
                 P = len(chunk)
                 qa = np.full((P, bq), PAD, np.int8)
                 ta = np.full((P, bt), PAD, np.int8)

@@ -183,18 +183,21 @@ class PreadOverlapper:
         # two-phase async: dispatch all chunks, then collect (see
         # models.aligner — avoids one blocking device round trip per chunk)
         pending = []  # (chunk, n_real, handle)
+        # 2x chunks on the Pallas path: fewer relay round trips (see
+        # models.aligner)
+        chunk_pairs = cfg.batch_pairs * (2 if aligner.use_pallas else 1)
         for (bq, bt), jidx in sorted(buckets.items()):
-            for s in range(0, len(jidx), cfg.batch_pairs):
-                chunk = jidx[s : s + cfg.batch_pairs]
+            for s in range(0, len(jidx), chunk_pairs):
+                chunk = jidx[s : s + chunk_pairs]
                 P = len(chunk)
                 # pad the tail chunk to the full batch (repeat last job,
                 # results discarded): one device shape per bucket, so the
                 # serialized remote kernel compile runs once, not per
                 # ragged tail size
                 n_real = P
-                if P < cfg.batch_pairs and s > 0:
-                    chunk = chunk + [chunk[-1]] * (cfg.batch_pairs - P)
-                    P = cfg.batch_pairs
+                if P < chunk_pairs and s > 0:
+                    chunk = chunk + [chunk[-1]] * (chunk_pairs - P)
+                    P = chunk_pairs
                 qa = np.full((P, bq), PAD, np.int8)
                 ta = np.full((P, bt), PAD, np.int8)
                 nn = np.zeros(P, np.int32)

@@ -219,6 +219,15 @@ def pack_moves2(moves: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(m << shifts, axis=-1).astype(jnp.int32)
 
 
+@jax.jit
+def _combine_results(packed, dist, end_i, end_j):
+    """Fuse per-chunk results into one (P, K+3) int32 device array so the
+    host pays ONE fetch round trip per chunk instead of four."""
+    tail = jnp.stack([dist.astype(jnp.int32), end_i.astype(jnp.int32),
+                      end_j.astype(jnp.int32)], axis=1)
+    return jnp.concatenate([packed, tail], axis=1)
+
+
 def unpack_moves2(packed: np.ndarray, S: int) -> np.ndarray:
     """Inverse of pack_moves2 on host: (P, S16/16) int32 -> (P, S) int8."""
     p = np.asarray(packed)
@@ -363,36 +372,47 @@ class BandedAligner:
                 jnp.asarray(qg), jnp.asarray(trg),
                 jnp.asarray(n), jnp.asarray(m), jnp.asarray(lo),
                 W=self.W, Lt=Lt, G=G, mode=self.mode, want_bp=want_moves)
-        handle = {"res": {k: v for k, v in res.items() if k != "bp"},
-                  "steps": Lq + Lt, "packed": None}
+        handle = {"res": None, "steps": Lq + Lt, "combined": None}
         if want_moves:
             moves_rev = traceback_batch(
                 res["bp"], jnp.asarray(lo),
                 res["end_i"], res["end_j"], max_steps=Lq + Lt)
-            handle["packed"] = pack_moves2(moves_rev)
+            # ONE device array per chunk: packed moves + the 3 scalar
+            # columns. collect() then costs a single relay round trip —
+            # fetch LATENCY (not bytes) dominates through the tunnel
+            handle["combined"] = _combine_results(
+                pack_moves2(moves_rev), res["dist"], res["end_i"],
+                res["end_j"])
+        else:
+            handle["res"] = {k: v for k, v in res.items() if k != "bp"}
         return handle
 
     def collect(self, handle) -> dict:
         """Materialize a ``dispatch`` handle as numpy (blocks)."""
-        out = {k: np.asarray(v) for k, v in handle["res"].items()}
-        if handle["packed"] is not None:
-            moves_rev = unpack_moves2(np.asarray(handle["packed"]),
-                                      handle["steps"])
+        if handle["combined"] is not None:
+            c = np.asarray(handle["combined"])
+            out = {"dist": c[:, -3].copy(), "end_i": c[:, -2].copy(),
+                   "end_j": c[:, -1].copy()}
+            moves_rev = unpack_moves2(c[:, :-3], handle["steps"])
             out["moves"] = moves_forward(moves_rev)
-        return out
+            return out
+        return {k: np.asarray(v) for k, v in handle["res"].items()}
 
     def _pallas_call(self, q, t, n, m, Lq, Lt, Dmax):
         from .pallas_align import pallas_banded_align
         P = q.shape[0]
         # bigger blocks amortize the per-antidiagonal step cost (measured:
-        # 4x pairs cost ~1.1x wall at these shapes).  PB comes from a
-        # FIXED three-value ladder and P pads up to a multiple of it: an
-        # exact-P block size would mint a fresh kernel shape per odd
-        # tail chunk, and every distinct Pallas shape pays a serialized
-        # uncached server-side Mosaic compile on the tunneled TPU
-        # (measured: shape compiles dominate cold unzip wall-clock).
-        PB = 256 if P > 128 else (128 if P > 64 else 64)
-        pad = (-P) % PB
+        # 4x pairs cost ~1.1x wall at these shapes).  P pads up to the
+        # pow2 ladder (min 64) and PB = min(256, P): the compiled shape
+        # includes BOTH the block size and the grid count, and every
+        # distinct Pallas shape pays a serialized uncached server-side
+        # Mosaic compile on the tunneled TPU (measured: shape compiles
+        # dominate cold unzip wall-clock), so both stay on sparse ladders.
+        cap = 64
+        while cap < P:
+            cap *= 2
+        PB = min(256, cap)
+        pad = cap - P
         if pad:
             q = np.concatenate([q, np.tile(q[-1:], (pad, 1))])
             t = np.concatenate([t, np.tile(t[-1:], (pad, 1))])
@@ -400,7 +420,8 @@ class BandedAligner:
                                                        pad)])
             m = np.concatenate([np.asarray(m), np.tile(np.asarray(m)[-1:],
                                                        pad)])
-        PALLAS_SHAPES.add(("edit", self.W, Lq, Lt, PB, self.mode))
+        PALLAS_SHAPES.add(("edit", self.W, Lq, Lt, q.shape[0], PB,
+                           self.mode))
         qg, trg, G = prepare_batch(q, t, self.W)
         # stay int8 on the host: the device widens to int32 inside the
         # jit (4x smaller RPC upload through the tunnel)

@@ -242,18 +242,22 @@ class PallasPairHMMScorer:
                  n: np.ndarray, m: np.ndarray) -> np.ndarray:
         P, Lq = q.shape
         Lt = t.shape[1]
-        # fixed block-size ladder (see ops.banded_align._pallas_call):
-        # an exact-P block would compile a fresh Mosaic kernel per odd
-        # batch size on the remote-compile TPU path
-        PB = min(self.PB, 256 if P > 128 else (128 if P > 64 else 64))
-        pad = (-P) % PB
+        # pow2 P ladder + bounded block size (see ops.banded_align.
+        # _pallas_call): block size AND grid count are part of the
+        # compiled shape; exact-P batches would compile a fresh Mosaic
+        # kernel per odd batch size on the remote-compile TPU path
+        cap = 64
+        while cap < P:
+            cap *= 2
+        PB = min(self.PB, 256, cap)
+        pad = cap - P
         if pad:
             q = np.concatenate([q, np.tile(q[-1:], (pad, 1))])
             t = np.concatenate([t, np.tile(t[-1:], (pad, 1))])
             n = np.concatenate([n, np.tile(n[-1:], pad)])
             m = np.concatenate([m, np.tile(m[-1:], pad)])
         from .banded_align import PALLAS_SHAPES
-        PALLAS_SHAPES.add(("hmm", self.W, Lq, Lt, PB))
+        PALLAS_SHAPES.add(("hmm", self.W, Lq, Lt, q.shape[0], PB))
         qg, trg, G = prepare_batch(q, t, self.W)
         # int32 chars (int8 costs a relayout per load + no 8-bit rotate);
         # extra slack columns for the aligned 2-tile in-kernel windows
