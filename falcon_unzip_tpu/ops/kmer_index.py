@@ -32,6 +32,11 @@ def kmer_codes(seq: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     return codes, valid
 
 
+# direct-address LUT cap: 4^k int32 entries (k=13 -> 268 MB) — above this
+# the index falls back to searchsorted
+_LUT_MAX_CODES = 1 << 28
+
+
 @dataclasses.dataclass
 class KmerIndex:
     """Sorted k-mer table over a set of contigs."""
@@ -42,6 +47,7 @@ class KmerIndex:
     ctg_id: np.ndarray      # contig of each code (int32)
     ctg_starts: np.ndarray  # global start of each contig (int64, n_ctg+1)
     max_hits: int = 64      # repeat filter: ignore kmers more frequent
+    lut: np.ndarray | None = None   # (4^k + 1,) int64 row starts, O(1) lookup
 
     @staticmethod
     def build(contigs: list[np.ndarray], k: int = 13,
@@ -62,9 +68,26 @@ class KmerIndex:
         pos = np.concatenate(all_pos) if all_pos else np.zeros(0, np.int64)
         ctg = np.concatenate(all_ctg) if all_ctg else np.zeros(0, np.int32)
         order = np.argsort(codes, kind="stable")
-        return KmerIndex(k=k, codes=codes[order], pos=pos[order],
+        codes = codes[order]
+        # direct-address LUT: lut[c] = first row with code c (cumsum of
+        # per-code counts) -> each query lookup is two O(1) loads instead
+        # of a binary search over the table (the searchsorted calls were
+        # the single largest HOST cost of the overlap stage at 1Mb scale)
+        lut = None
+        n_codes = 4 ** k
+        if n_codes <= _LUT_MAX_CODES:
+            lut = np.zeros(n_codes + 1, np.int64)
+            np.cumsum(np.bincount(codes, minlength=n_codes), out=lut[1:])
+        return KmerIndex(k=k, codes=codes, pos=pos[order],
                          ctg_id=ctg[order], ctg_starts=starts,
-                         max_hits=max_hits)
+                         max_hits=max_hits, lut=lut)
+
+    def ranges(self, codes: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        """[lo, hi) table rows per query code (LUT or searchsorted)."""
+        if self.lut is not None:
+            return self.lut[codes], self.lut[codes + 1]
+        return (np.searchsorted(self.codes, codes, side="left"),
+                np.searchsorted(self.codes, codes, side="right"))
 
     def query(self, read: np.ndarray):
         """Anchors of a read against the index (forward strand of read).
@@ -74,8 +97,7 @@ class KmerIndex:
         codes, valid = kmer_codes(read, self.k)
         qpos_all = np.nonzero(valid)[0]
         codes = codes[qpos_all]
-        lo = np.searchsorted(self.codes, codes, side="left")
-        hi = np.searchsorted(self.codes, codes, side="right")
+        lo, hi = self.ranges(codes)
         cnt = hi - lo
         keep = (cnt > 0) & (cnt <= self.max_hits)
         lo, hi, qp = lo[keep], hi[keep], qpos_all[keep]
@@ -226,8 +248,7 @@ def query_flat(index: "KmerIndex", seqs: list[np.ndarray]):
     codes, valid = kmer_codes(flat, index.k)
     gq_all = np.nonzero(valid)[0]
     codes = codes[gq_all]
-    lo = np.searchsorted(index.codes, codes, side="left")
-    hi = np.searchsorted(index.codes, codes, side="right")
+    lo, hi = index.ranges(codes)
     cnt = hi - lo
     keep = (cnt > 0) & (cnt <= index.max_hits)
     lo, hi, gq = lo[keep], hi[keep], gq_all[keep]
