@@ -20,9 +20,30 @@ import numpy as np
 from ..oracle.phasing import PhasingConfig, phase_blocks
 from ..ops.association import (assign_reads, association_band_device,
                                read_block_votes)
-from ..ops.pileup import (allele_matrix_scatter, call_het_sites_device,
+from ..ops.pileup import (allele_matrix_scatter, het_call_vec,
                           pileup_scatter)
 from .aligner import AlnSet
+
+
+def _bucket(n: int, floor: int) -> int:
+    """Smallest ladder size >= n from {p2, 1.5*p2} (waste <= 33%).
+
+    Every device op in this stage jits on its static shapes; without
+    bucketing each contig's unique (t_len, n_tags, n_sites, n_reads,
+    n_blocks) tuple forced a fresh XLA compile — at 300kb/6 contigs the
+    phasing stage spent 83 of its 83s compiling.  The ladder collapses
+    the shape space so programs are reused across contigs AND across
+    runs (persistent compile cache).  Padding is inert: pos=-1 tags are
+    dropped by the scatters, zero count-rows fail the het predicate
+    (filtered on host regardless), and zero M rows/cols contribute
+    nothing to association scores or block votes.
+    """
+    b = floor
+    while b < n:
+        if b + (b >> 1) >= n:
+            return b + (b >> 1)
+        b <<= 1
+    return b
 
 
 @dataclasses.dataclass
@@ -73,11 +94,30 @@ def phase_contig_device(aln: AlnSet, ctg: int, t_len: int,
     read_ids = aln.read_id[rec_idx]
     row, pos, base = flat_delta0_tags(aln, rec_idx)
 
+    # bucketed static shapes -> compiled programs shared across contigs
+    Tb = _bucket(t_len, 4096)
+    Nb = _bucket(len(pos), 8192)
+    pos_b = np.full(Nb, -1, np.int32)
+    pos_b[: len(pos)] = pos
+    base_b = np.zeros(Nb, np.int32)
+    base_b[: len(base)] = base
+    row_b = np.zeros(Nb, np.int32)
+    row_b[: len(row)] = row
+
     if phase_ops is not None:
-        counts = phase_ops.pileup(pos, base, t_len=t_len)
+        counts = phase_ops.pileup(pos_b, base_b, t_len=Tb)[:t_len]
     else:
-        counts = np.asarray(pileup_scatter(pos, base, t_len=t_len))
-    het_pos, b1, b2 = call_het_sites_device(counts, cfg)
+        counts = np.asarray(pileup_scatter(pos_b, base_b, t_len=Tb))[:t_len]
+    cpad = np.zeros((Tb, 5), np.int32)
+    cpad[:t_len] = counts
+    is_het, b1_all, b2_all = het_call_vec(
+        cpad, min_depth=cfg.min_depth,
+        min_allele_count=cfg.min_allele_count,
+        allele_freq_min=cfg.allele_freq_min,
+        biallelic_frac=cfg.biallelic_frac)
+    het_pos = np.nonzero(np.asarray(is_het)[:t_len])[0].astype(np.int64)
+    b1 = np.asarray(b1_all)[het_pos]
+    b2 = np.asarray(b2_all)[het_pos]
     S = len(het_pos)
     R = len(rec_idx)
     if S == 0 or R == 0:
@@ -90,30 +130,38 @@ def phase_contig_device(aln: AlnSet, ctg: int, t_len: int,
             r_phase=np.full(R, -1, np.int8),
             counts=counts)
 
-    pos_to_site = np.full(t_len, -1, np.int32)
+    Sb = _bucket(S, 256)
+    Rb = _bucket(R, 256)
+    pos_to_site = np.full(Tb, -1, np.int32)
     pos_to_site[het_pos] = np.arange(S, dtype=np.int32)
+    b1_b = np.full(Sb, -9, np.int32)   # sentinel: matches no base code
+    b1_b[:S] = b1
+    b2_b = np.full(Sb, -9, np.int32)
+    b2_b[:S] = b2
     M = np.asarray(allele_matrix_scatter(
-        row, pos, base, pos_to_site,
-        b1.astype(np.int32), b2.astype(np.int32),
-        n_reads=R, n_sites=S, t_len=t_len))
+        row_b, pos_b, base_b, pos_to_site, b1_b, b2_b,
+        n_reads=Rb, n_sites=Sb, t_len=Tb))
 
     if phase_ops is not None:
         score, cov = phase_ops.association(M, max_span=cfg.max_span)
     else:
         score, cov = association_band_device(M, max_span=cfg.max_span)
-    block_id, orient = phase_blocks(np.asarray(score), np.asarray(cov), S, cfg)
+    block_id, orient = phase_blocks(np.asarray(score)[:S],
+                                    np.asarray(cov)[:S], S, cfg)
 
     n_blocks = int(block_id.max()) + 1 if S else 0
     if n_blocks == 0:
         r_block = np.full(R, -1, np.int64)
         r_phase = np.full(R, -1, np.int8)
     else:
-        onehot = np.zeros((S, n_blocks), np.int8)
+        onehot = np.zeros((Sb, _bucket(n_blocks, 16)), np.int8)
         sel = block_id >= 0
         onehot[np.nonzero(sel)[0], block_id[sel]] = 1
-        sgn = (1 - 2 * orient.astype(np.int32))
+        sgn = np.ones(Sb, np.int32)
+        sgn[:S] = 1 - 2 * orient.astype(np.int32)
         votes, covs = read_block_votes(M, onehot, sgn)
-        r_block, r_phase = assign_reads(votes, covs)
+        r_block, r_phase = assign_reads(np.asarray(votes)[:R, :n_blocks],
+                                        np.asarray(covs)[:R, :n_blocks])
 
     return ContigPhasing(
         ctg=ctg, het_pos=het_pos, b1=b1, b2=b2,
