@@ -19,10 +19,18 @@ def main():
                                                  ReadToContigAligner)
     from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
 
+    from falcon_unzip_tpu.seq import SeqBatch
     n_ctg = max(1, genome_bp // 50_000)
-    dip = make_diploid(genome_bp, n_contigs=n_ctg, seed=7)
-    reads = simulate_reads(dip, coverage=coverage, seed=8)
-    contigs = [dip.hap0[i] for i in range(n_ctg)]
+    per = genome_bp // n_ctg
+    contigs, seqs = [], []
+    for ci in range(n_ctg):
+        dip = make_diploid(length=per, het_rate=0.012, seed=100 + ci,
+                           het_span=(0.2, 0.8))
+        pr = simulate_reads(dip, coverage=coverage, read_len=2200,
+                            error_rate=0.0, seed=200 + ci)
+        seqs += [pr.batch.to_str(i) for i in range(len(pr.batch))]
+        contigs.append(dip.hap0)
+    reads = SeqBatch.from_strs(seqs)
 
     t0 = time.time()
     al = ReadToContigAligner(contigs, AlignerConfig())
