@@ -72,12 +72,14 @@ class PolishCfg:
     window: int = 384
     overlap: int = 64
     min_cov: int = 3
-    arrow_rounds: int = 6        # max rounds; windows stop at convergence
+    arrow_rounds: int = 12       # max rounds; windows stop at convergence
     arrow_candidates: int = 4    # low-margin columns tested per round
+                                 # (queue chunk size; full queue cycles)
     arrow_min_cov: int = 5       # full-span reads gating mutation testing
     margin_frac: float = 0.7
     hmm_band: int = 48
-    score_batch: int = 8192      # (variant, read) pairs per dispatch
+    score_batch: int = 8192      # legacy re-forward pairs per dispatch
+    splice_chunk: int = 512      # (read, window) pairs per splice dispatch
     use_pallas: bool = True      # TPU path for the HMM scorer (auto)
 
 

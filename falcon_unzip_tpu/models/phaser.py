@@ -104,12 +104,13 @@ def phase_contig_device(aln: AlnSet, ctg: int, t_len: int,
     row_b = np.zeros(Nb, np.int32)
     row_b[: len(row)] = row
 
+    # device rows beyond t_len are zero, so the full (Tb, 5) tensor feeds
+    # het_call_vec directly; only the stored counts field is sliced
     if phase_ops is not None:
-        counts = phase_ops.pileup(pos_b, base_b, t_len=Tb)[:t_len]
+        cpad = phase_ops.pileup(pos_b, base_b, t_len=Tb)
     else:
-        counts = np.asarray(pileup_scatter(pos_b, base_b, t_len=Tb))[:t_len]
-    cpad = np.zeros((Tb, 5), np.int32)
-    cpad[:t_len] = counts
+        cpad = np.asarray(pileup_scatter(pos_b, base_b, t_len=Tb))
+    counts = cpad[:t_len]
     is_het, b1_all, b2_all = het_call_vec(
         cpad, min_depth=cfg.min_depth,
         min_allele_count=cfg.min_allele_count,

@@ -19,6 +19,7 @@ import numpy as np
 
 from ..seq import PAD, SeqBatch
 from ..ops.consensus import consensus_with_map, vote_matrix
+from ..oracle.hmm import NEG as NEG_LL
 from ..oracle.hmm import HMMParams, mutations_of
 from ..ops.pairhmm import PairHMMScorer
 from .aligner import AlnSet
@@ -37,9 +38,11 @@ class PolisherConfig:
     overlap: int = 64            # window overlap for stitching
     splice_k: int = 21           # k-mer for overlap splicing
     min_cov: int = 3             # below this, keep template bases
-    arrow_rounds: int = 6        # max mutation rounds (0 = vote only);
+    arrow_rounds: int = 12       # max mutation rounds (0 = vote only);
                                  # windows stop early at convergence
-    arrow_candidates: int = 4    # max low-margin columns tested per round
+    arrow_candidates: int = 4    # low-margin columns tested per round
+                                 # (the device C axis; the full queue is
+                                 # cycled through in chunks of this size)
     arrow_min_cov: int = 5       # full-span reads required before mutation
                                  # testing fires (below it, 2-3 correlated
                                  # read errors can outvote the truth —
@@ -48,6 +51,9 @@ class PolisherConfig:
     hmm_band: int = 48
     use_pallas: bool | None = None   # None = auto (TPU + aligned band)
     score_batch: int = 8192          # max (variant, read) pairs per dispatch
+                                     # (legacy re-forward path only)
+    splice_chunk: int = 512          # (read, template) pairs per splice
+                                     # dispatch (ops.arrow)
     params: HMMParams = dataclasses.field(default_factory=HMMParams)
 
 
@@ -60,11 +66,21 @@ class _WinState:
     segs: list
     active: bool
     cand: list = dataclasses.field(default_factory=list)
-    #   low-margin candidate positions in CONSENSUS coordinates, shifted
-    #   as accepted indel mutations move downstream bases
+    #   low-margin candidate QUEUE in CONSENSUS coordinates, shifted as
+    #   accepted indel mutations move downstream bases; refinement cycles
+    #   through it arrow_candidates at a time, so windows with more error
+    #   columns than one chunk still converge (VERDICT.md weak #4)
+    cursor: int = 0                  # round-robin position in cand
+    stale: int = 0                   # consecutive no-accept rounds
+    qv: dict = dataclasses.field(default_factory=dict)
+    #   likelihood-margin QV per tested column (cns coords), overwritten
+    #   as later rounds retest — rounds-exhausted windows keep their
+    #   last-round margins instead of losing them (VERDICT.md weak #4)
     qv_pos: list = dataclasses.field(default_factory=list)
     qv_val: list = dataclasses.field(default_factory=list)
-    #   likelihood-margin QVs recorded at convergence (cns coords)
+    seg_pvecs: np.ndarray | None = None
+    #   optional per-seg (n_segs, 10) log-params for base-quality-aware
+    #   scoring (SURVEY.md §2b variantCaller row)
 
 
 @dataclasses.dataclass
@@ -115,10 +131,16 @@ def window_votes(aln: AlnSet, rec_idx: np.ndarray, lo: int, hi: int):
 
 class Polisher:
     def __init__(self, cfg: PolisherConfig | None = None, scorer=None,
-                 vote_ops=None):
-        """scorer: optional pair-HMM scorer override with the standard
-        (q, t, n, m) -> ll interface (e.g. parallel.sharding.
-        ShardedPairHMMScorer for mesh-sharded polish).
+                 vote_ops=None, splicer=None):
+        """scorer: optional LEGACY pair-HMM scorer override with the
+        (q, t, n, m) -> ll interface; injecting one selects the full
+        re-forward refinement path (kept for oracle-equivalence tests).
+
+        splicer: optional ops.arrow.ArrowSplicer-compatible override
+        (e.g. parallel.sharding.ShardedArrowSplicer for mesh-sharded
+        polish).  Default: ArrowSplicer — forward+backward once per
+        (read, window) and O(rows) splice per mutation, the
+        ConsensusCore2 design (SURVEY.md §3.4).
 
         vote_ops: optional parallel.sharding.ShardedWindowVotes — builds
         the per-window vote tensors window-SHARDED over the mesh (device
@@ -126,20 +148,17 @@ class Polisher:
         vote_matrix; bit-identical votes, distributed scatter."""
         self.cfg = cfg or PolisherConfig()
         self._vote_ops = vote_ops
+        self._scorer = scorer
         if scorer is not None:
-            self._scorer = scorer
+            self._splicer = None
             return
-        from ..ops.banded_align import _on_tpu
-        use_pallas = self.cfg.use_pallas
-        if use_pallas is None:
-            use_pallas = _on_tpu()
-        if use_pallas:
-            from ..ops.pallas_pairhmm import PallasPairHMMScorer
-            W = max(128, -(-self.cfg.hmm_band // 128) * 128)
-            self._scorer = PallasPairHMMScorer(W=W, params=self.cfg.params)
+        if splicer is not None:
+            self._splicer = splicer
         else:
-            self._scorer = PairHMMScorer(W=self.cfg.hmm_band,
-                                         params=self.cfg.params)
+            from ..ops.arrow import ArrowSplicer
+            self._splicer = ArrowSplicer(
+                max_cand=self.cfg.arrow_candidates,
+                params=self.cfg.params, chunk=self.cfg.splice_chunk)
 
     # -- window consensus --------------------------------------------------
 
@@ -165,12 +184,12 @@ class Polisher:
         pos = np.nonzero(low)[0]
         order = np.argsort((win / np.maximum(tot, 1))[pos], kind="stable")
         out: list[int] = []
+        seen: set[int] = set()
         for p in pos[order]:
             c = min(int(cns_of_t[p]), len(cns) - 1)
-            if c >= 0 and c not in out:
+            if c >= 0 and c not in seen:
+                seen.add(c)
                 out.append(c)
-            if len(out) >= cfg.arrow_candidates:
-                break
         return out
 
     # -- contig polish -----------------------------------------------------
@@ -256,18 +275,125 @@ class Polisher:
     def _refine_windows(self, states: list["_WinState"]) -> None:
         """Greedy mutation testing to convergence, batched ACROSS windows.
 
-        Per window this is exactly the oracle's Arrow outer loop
-        (oracle.hmm.polish_window_oracle): each round scores the current
-        consensus plus every single-base mutation at the candidate
-        columns, applies the best strictly-improving one (> 1e-3 margin,
-        the oracle's threshold), and stops when nothing improves — only
-        the device dispatch is shared across windows, turning
-        windows x rounds scoring calls into at most arrow_rounds chunked
-        batches (SURVEY.md §3.4: Arrow is the hottest loop).  Accepted
-        indels shift the remaining candidate columns so later rounds
-        probe the right base.  At convergence, per-column likelihood
-        margins become phred QV overrides (VERDICT.md missing #3).
+        Per window this is the oracle's Arrow outer loop
+        (oracle.hmm.polish_window_oracle) with the reference's
+        alpha/beta-splice scoring (SURVEY.md §3.4, ConsensusCore2):
+        each round computes forward+backward ONCE per (read, window
+        consensus) and scores every candidate mutation by an O(rows)
+        splice (ops.arrow) instead of a full re-forward per
+        (variant x read) — the device dispatch is shared across all
+        windows of all contigs.  The candidate queue is cycled
+        arrow_candidates at a time; a window converges when a full
+        cycle accepts nothing.  Accepted indels shift queue and QV
+        coordinates; accepted columns (and their neighbors) are
+        retested against the NEW template next round.  Every tested
+        column keeps its latest likelihood-margin phred QV, including
+        in rounds-exhausted windows.
         """
+        if self._splicer is None:
+            return self._refine_windows_reforward(states)
+        cfg = self.cfg
+        C = cfg.arrow_candidates
+        ln10_over_10 = np.log(10.0) / 10.0
+        for _ in range(cfg.arrow_rounds):
+            qs: list[np.ndarray] = []
+            ts: list[np.ndarray] = []
+            cands: list[list[int]] = []
+            pair_w: list[int] = []
+            pvecs: list[np.ndarray] = []
+            any_pvec = False
+            win_cols: dict[int, list[int]] = {}
+            for k, st in enumerate(states):
+                if not st.active:
+                    continue
+                st.cand = [p for p in st.cand if 0 <= p < len(st.cns)]
+                if not st.cand or not len(st.cns):
+                    st.active = False
+                    continue
+                nq = len(st.cand)
+                start = st.cursor % nq
+                cols = [st.cand[(start + ii) % nq]
+                        for ii in range(min(C, nq))]
+                win_cols[k] = cols
+                for si, seg in enumerate(st.segs):
+                    qs.append(seg)
+                    ts.append(st.cns)
+                    cands.append(cols)
+                    pair_w.append(k)
+                    if st.seg_pvecs is not None:
+                        pvecs.append(st.seg_pvecs[si])
+                        any_pvec = True
+                    else:
+                        pvecs.append(None)
+            if not qs:
+                break
+            pv = None
+            if any_pvec:
+                from ..ops.pairhmm import params_vector
+                default = params_vector(cfg.params)
+                pv = np.stack([p if p is not None else default
+                               for p in pvecs])
+            ll_cur, ll_mut = self._splicer(qs, ts, cands, pvecs=pv)
+            pair_w_a = np.asarray(pair_w)
+            for k, cols in win_cols.items():
+                st = states[k]
+                sel = pair_w_a == k
+                tot_cur = float(ll_cur[sel].sum())
+                tot_mut = ll_mut[sel].sum(axis=0)          # (C, 9)
+                best = None                                # (ll, ci, v)
+                for ci, p in enumerate(cols):
+                    cur_base = int(st.cns[p])
+                    col_best = float(NEG_LL)
+                    for v in range(9):
+                        if v < 4 and v == cur_base:        # identity sub
+                            continue
+                        val = float(tot_mut[ci, v])
+                        col_best = max(col_best, val)
+                        if val > tot_cur + 1e-3 and (
+                                best is None or val > best[0]):
+                            best = (val, ci, v)
+                    margin = tot_cur - col_best
+                    st.qv[p] = int(np.clip(margin / ln10_over_10, 2, 60))
+                if best is None:
+                    st.cursor += len(cols)
+                    st.stale += 1
+                    if st.stale * C >= len(st.cand):       # full dry cycle
+                        st.active = False
+                    continue
+                _ll, ci, v = best
+                p = cols[ci]
+                st.stale = 0
+                if v < 4:                                  # substitution
+                    st.cns = st.cns.copy()
+                    st.cns[p] = v
+                elif v < 8:                                # insertion
+                    st.cns = np.insert(st.cns, p, v - 4)
+                    st.cand = [x + 1 if x >= p else x for x in st.cand]
+                    st.qv = {(x + 1 if x >= p else x): q
+                             for x, q in st.qv.items()}
+                else:                                      # deletion
+                    st.cns = np.delete(st.cns, p)
+                    st.cand = [x - 1 if x > p else x for x in st.cand]
+                    st.qv = {(x - 1 if x > p else x): q
+                             for x, q in st.qv.items()}
+                # an accepted indel re-frames neighboring columns: make
+                # sure they are (re)probed against the new template
+                for x in (p - 1, p, p + 1):
+                    if 0 <= x < len(st.cns) and x not in st.cand:
+                        st.cand.append(x)
+                seen: set[int] = set()
+                st.cand = [x for x in st.cand
+                           if not (x in seen or seen.add(x))]
+        for st in states:
+            if st.qv:
+                st.qv_pos = list(st.qv.keys())
+                st.qv_val = list(st.qv.values())
+
+    def _refine_windows_reforward(self, states: list["_WinState"]) -> None:
+        """Legacy full-re-forward refinement (used only when a raw
+        (q, t, n, m) scorer is injected, e.g. oracle-equivalence tests):
+        scores the current consensus plus every mutated template with a
+        complete banded forward per (variant x read) pair."""
         cfg = self.cfg
         ln10_over_10 = np.log(10.0) / 10.0
         for _ in range(cfg.arrow_rounds):
@@ -284,7 +410,8 @@ class Polisher:
                     st.active = False
                     continue
                 variants = [("cur", st.cns)]
-                for p in st.cand:
+                # legacy cost model: only the first chunk of the queue
+                for p in st.cand[:cfg.arrow_candidates]:
                     variants.extend(mutations_of(st.cns, p))
                 win_variants[k] = variants
                 for vi, (_nm, v) in enumerate(variants):

@@ -329,6 +329,17 @@ def _on_tpu() -> bool:
         return False
 
 
+def pallas_enabled() -> bool:
+    """Pallas kernels wanted: on TPU, unless FALCON_UNZIP_TPU_FORCE_XLA
+    is set (operational escape hatch — the tunneled remote-Mosaic compile
+    service is a shared queue and can wedge; the XLA scan path is
+    conformance-equal and compiles through the ordinary XLA service)."""
+    import os
+    if os.environ.get("FALCON_UNZIP_TPU_FORCE_XLA"):
+        return False
+    return _on_tpu()
+
+
 class BandedAligner:
     """High-level batched aligner over same-shape (bucketed) pair batches.
 
@@ -342,7 +353,7 @@ class BandedAligner:
         self.W = W
         self.mode = mode
         self.use_pallas = (use_pallas if use_pallas is not None
-                           else (W % 128 == 0 and _on_tpu()))
+                           else (W % 128 == 0 and pallas_enabled()))
 
     def __call__(self, q: np.ndarray, t: np.ndarray,
                  n: np.ndarray, m: np.ndarray, want_moves: bool = True):

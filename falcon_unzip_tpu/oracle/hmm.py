@@ -80,6 +80,132 @@ def score_templates(reads: list[np.ndarray], template: np.ndarray,
     return float(sum(forward_full(r, template, params) for r in reads))
 
 
+def forward_backward_full(q: np.ndarray, t: np.ndarray,
+                          params: HMMParams | None = None):
+    """Full forward AND backward matrices (the ConsensusCore2 alpha/beta
+    pair, [U] variantCaller/ConsensusCore2 — SURVEY.md §3.4 "iterative
+    mutation proposal/testing": real Arrow scores a point mutation by
+    splicing cached alpha/beta instead of a full re-forward).
+
+    Conventions:
+      A_S[i, j]  — forward: all path prefixes ending in state S at (i, j),
+                   the cell's own emission INCLUDED (same as forward_full).
+      B_S[i, j]  — backward: all path suffixes starting FROM state S at
+                   (i, j), the cell's own emission NOT included, so
+                   A_S[i,j] + B_S[i,j] sums every path through (S, i, j)
+                   exactly once.  B_M[0, 0] == total loglik.
+
+    Returns ((A_M, A_I, A_D), (B_M, B_I, B_D)), all (n+1, m+1) float32.
+    """
+    params = params or HMMParams()
+    L = params.logs()
+    n, m = len(q), len(t)
+    A_M = np.full((n + 1, m + 1), NEG, np.float32)
+    A_I = np.full((n + 1, m + 1), NEG, np.float32)
+    A_D = np.full((n + 1, m + 1), NEG, np.float32)
+    A_M[0, 0] = 0.0
+    for i in range(n + 1):
+        for j in range(m + 1):
+            if i > 0 and j > 0:
+                em = L["em_match"] if (q[i - 1] == t[j - 1] and q[i - 1] < 4) \
+                    else L["em_mis"]
+                A_M[i, j] = em + np.logaddexp(
+                    np.logaddexp(A_M[i - 1, j - 1] + L["tMM"],
+                                 A_I[i - 1, j - 1] + L["tIM"]),
+                    A_D[i - 1, j - 1] + L["tDM"])
+            if i > 0:
+                A_I[i, j] = L["em_ins"] + np.logaddexp(
+                    A_M[i - 1, j] + L["tMI"], A_I[i - 1, j] + L["tII"])
+            if j > 0:
+                A_D[i, j] = np.logaddexp(A_M[i, j - 1] + L["tMD"],
+                                         A_D[i, j - 1] + L["tDD"])
+    B_M = np.full((n + 1, m + 1), NEG, np.float32)
+    B_I = np.full((n + 1, m + 1), NEG, np.float32)
+    B_D = np.full((n + 1, m + 1), NEG, np.float32)
+    B_M[n, m] = B_I[n, m] = B_D[n, m] = 0.0
+    for i in range(n, -1, -1):
+        for j in range(m, -1, -1):
+            if i == n and j == m:
+                continue
+            acc_m, acc_i, acc_d = NEG, NEG, NEG
+            if i < n and j < m:
+                em = L["em_match"] if (q[i] == t[j] and q[i] < 4) \
+                    else L["em_mis"]
+                go_m = em + B_M[i + 1, j + 1]
+                acc_m = np.logaddexp(acc_m, L["tMM"] + go_m)
+                acc_i = np.logaddexp(acc_i, L["tIM"] + go_m)
+                acc_d = np.logaddexp(acc_d, L["tDM"] + go_m)
+            if i < n:
+                go_i = L["em_ins"] + B_I[i + 1, j]
+                acc_m = np.logaddexp(acc_m, L["tMI"] + go_i)
+                acc_i = np.logaddexp(acc_i, L["tII"] + go_i)
+            if j < m:
+                acc_d = np.logaddexp(acc_d, L["tDD"] + B_D[i, j + 1])
+            B_D[i, j] = acc_d
+            if j < m:
+                acc_m = np.logaddexp(acc_m, L["tMD"] + B_D[i, j + 1])
+            B_M[i, j] = acc_m
+            B_I[i, j] = acc_i
+    return (A_M, A_I, A_D), (B_M, B_I, B_D)
+
+
+def splice_scores(q: np.ndarray, t: np.ndarray, fb, p: int,
+                  params: HMMParams | None = None) -> np.ndarray:
+    """Log-likelihoods of all 9 single-base mutations at template pos p
+    from cached forward/backward matrices — NO re-forward.
+
+    Identity used: every complete path crosses the boundary between
+    template column p and the next column exactly once, via an M step
+    (emits the next template base) or a D step (deletes it).  Gluing the
+    unchanged prefix columns (forward, cols 0..p use t[:p]) to the
+    unchanged suffix columns (backward, col p+k uses t[p+k:]) across a
+    mutated middle column scores sub/ins/del in O(n) each.
+
+    Returns (9,) float32: [sub base 0..3, ins base 0..3, del].  The
+    "sub" to the template's own base equals the unmutated loglik (a
+    built-in consistency check).
+    """
+    params = params or HMMParams()
+    L = params.logs()
+    (A_M, A_I, A_D), (B_M, B_I, B_D) = fb
+    n, m = len(q), len(t)
+    assert 0 <= p < m
+    # launch values: paths at column p about to cross via an M or D step
+    ax_m = np.logaddexp(np.logaddexp(A_M[:, p] + L["tMM"],
+                                     A_I[:, p] + L["tIM"]),
+                        A_D[:, p] + L["tDM"])            # (n+1,)
+    ax_d = np.logaddexp(A_M[:, p] + L["tMD"], A_D[:, p] + L["tDD"])
+
+    def em_vs(base: int) -> np.ndarray:
+        # emission of read base q[i] against a template base (i = 0..n-1)
+        return np.where((q == base) & (q < 4),
+                        L["em_match"], L["em_mis"]).astype(np.float32)
+
+    def lse(a):
+        out = NEG
+        for v in a:
+            out = np.logaddexp(out, v)
+        return out
+
+    def cross(em_row: np.ndarray | None, col: int) -> float:
+        """Join column-p launches through one emitted/deleted base into
+        backward column `col` (entry-state convention)."""
+        terms = [ax_d + B_D[:, col]]
+        if em_row is not None:
+            terms.append(ax_m[:n] + em_row + B_M[1:, col])
+        return float(lse(np.concatenate(terms)))
+
+    out = np.full(9, NEG, np.float32)
+    for b in range(4):
+        out[b] = cross(em_vs(b), p + 1)            # sub t[p] -> b
+        out[4 + b] = cross(em_vs(b), p)            # ins b before p
+    if p == m - 1:   # delete the last base: column p becomes terminal
+        out[8] = lse([A_M[n, p], A_I[n, p], A_D[n, p]])
+    else:            # cross from col p straight into base t[p+1]
+        out[8] = cross(em_vs(int(t[p + 1])), p + 2)
+    return out
+
+
 def mutations_of(template: np.ndarray, pos: int):
     """All single-base variants at pos: 3 subs, 1 del, 4 ins (before pos)."""
     out = []

@@ -347,6 +347,83 @@ class ShardedPairHMMScorer:
         return out
 
 
+class ShardedArrowSplicer:
+    """Mesh-sharded ops.arrow.ArrowSplicer (the polish hot loop).
+
+    Same (qs, ts, cands, pvecs) -> (ll_cur, ll_mut) interface; the
+    (read, window) pair axis is sharded over ('data', 'window') and each
+    device runs forward+backward+splice on its shard; results are
+    all_gather'd to replicated so every host reads them locally
+    (SURVEY.md §2c polish row).
+    """
+
+    def __init__(self, mesh: Mesh, max_cand: int = 8, params=None,
+                 chunk: int = 512):
+        from ..ops.arrow import ArrowSplicer
+        self._base = ArrowSplicer(max_cand=max_cand, params=params,
+                                  chunk=chunk)
+        self._base._dispatch = self._dispatch
+        self._base._pick_chunk = self._pick_chunk
+        self.C = max_cand
+        self.mesh = mesh
+        self.n_dev = int(np.prod([mesh.shape[a] for a in mesh.axis_names]))
+        self._jit_cache = {}
+
+    def _pick_chunk(self, N: int) -> int:
+        # both candidates are n_dev-divisible so shards stay equal
+        return min(_bucket(N, self.n_dev),
+                   _bucket(self._base.chunk, self.n_dev))
+
+    def _fn(self, Lq: int, LJ: int):
+        key = (Lq, LJ)
+        if key not in self._jit_cache:
+            from ..ops.arrow import arrow_splice_core
+            mesh, C = self.mesh, self.C
+
+            @jax.jit
+            @functools.partial(
+                shard_map, mesh=mesh,
+                in_specs=(P(ALL, None), P(ALL, None), P(ALL), P(ALL),
+                          P(ALL, None), P(ALL, None)),
+                out_specs=(P(), P()),
+                # all_gather over every axis -> truly replicated; the
+                # VMA checker can't infer that
+                check_vma=False)
+            def step(q, t, n, m, cand, pvec):
+                cur, mut = arrow_splice_core(q, t, n, m, cand, pvec,
+                                             Lq=Lq, LJ=LJ, C=C)
+                return (jax.lax.all_gather(cur, ALL, tiled=True),
+                        jax.lax.all_gather(mut, ALL, tiled=True))
+
+            self._jit_cache[key] = step
+        return self._jit_cache[key]
+
+    def _dispatch(self, qa, ta, nn, mm, ca, pv, Lq: int, LJ: int):
+        mesh = self.mesh
+        out = self._fn(Lq, LJ)(
+            _global_rows(np.asarray(qa), mesh, P(ALL, None)),
+            _global_rows(np.asarray(ta), mesh, P(ALL, None)),
+            _global_rows(np.asarray(nn), mesh, P(ALL)),
+            _global_rows(np.asarray(mm), mesh, P(ALL)),
+            _global_rows(np.asarray(ca), mesh, P(ALL, None)),
+            _global_rows(np.asarray(pv), mesh, P(ALL, None)))
+        from . import debug
+        if debug.enabled():
+            from ..ops.arrow import arrow_splice_batch
+            ref = arrow_splice_batch(
+                jnp.asarray(qa), jnp.asarray(ta), jnp.asarray(nn),
+                jnp.asarray(mm), jnp.asarray(ca), jnp.asarray(pv),
+                Lq=Lq, LJ=LJ, C=self.C)
+            debug.check_equal("arrow.ll_cur", np.asarray(out[0]),
+                              np.asarray(ref[0]), atol=1e-3)
+            debug.check_equal("arrow.ll_mut", np.asarray(out[1]),
+                              np.asarray(ref[1]), atol=1e-3)
+        return out
+
+    def __call__(self, qs, ts, cands, pvecs=None):
+        return self._base(qs, ts, cands, pvecs=pvecs)
+
+
 class ShardedWindowVotes:
     """Window-axis (sequence-parallel) vote-tensor construction.
 

@@ -122,12 +122,13 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
         resume=cfg.resume, sync=sync)
 
     def _polish(st: Stage):
-        from ..parallel.sharding import (ShardedPairHMMScorer,
+        from ..parallel.sharding import (ShardedArrowSplicer,
                                          ShardedWindowVotes,
                                          make_pipeline_mesh)
         mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par)
-        scorer = ShardedPairHMMScorer(mesh, W=cfg.polish.hmm_band) \
-            if mesh is not None else None
+        splicer = ShardedArrowSplicer(
+            mesh, max_cand=cfg.polish.arrow_candidates,
+            chunk=cfg.polish.splice_chunk) if mesh is not None else None
         vote_ops = ShardedWindowVotes(mesh) \
             if mesh is not None and mesh.shape["window"] > 1 else None
         if mesh is not None:
@@ -140,8 +141,9 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
             margin_frac=cfg.polish.margin_frac,
             hmm_band=cfg.polish.hmm_band,
             score_batch=cfg.polish.score_batch,
+            splice_chunk=cfg.polish.splice_chunk,
             use_pallas=None if cfg.polish.use_pallas else False),
-            scorer=scorer, vote_ops=vote_ops)
+            splicer=splicer, vote_ops=vote_ops)
         polished = polisher.polish_all(list(zip(names, contigs)), get_aln())
         p_out = [c for i, c in enumerate(polished) if i < n_primary]
         h_out = [c for i, c in enumerate(polished) if i >= n_primary]

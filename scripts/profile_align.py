@@ -39,8 +39,10 @@ def main():
     import falcon_unzip_tpu.models.aligner as A
     from falcon_unzip_tpu.ops import banded_align as BA
 
-    times = {"seed": 0.0, "prep": 0.0, "dispatch": 0.0, "collect": 0.0,
-             "post": 0.0}
+    # NOTE: wrappers assume the patched functions never nest (true for
+    # align_batch's straight-line stage structure); "other" is the
+    # remainder — host prep fill loops, bucketing, result assembly
+    times = {"seed": 0.0, "dispatch": 0.0, "collect": 0.0, "post": 0.0}
 
     orig_seed = A.seed_batch
     def seed_batch(*a, **k):
@@ -71,7 +73,8 @@ def main():
     t0 = time.time()
     aln = al.align_batch(reads)
     wall = time.time() - t0
-    times["other"] = wall - sum(times.values())
+    other = wall - sum(times.values())
+    times["other"] = other if other >= 0 else float("nan")  # nan = nested
     print({"genome_bp": genome_bp, "n_reads": len(reads),
            "n_aligned": len(aln), "index_s": round(t_index, 2),
            "align_wall_s": round(wall, 2),

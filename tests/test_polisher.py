@@ -98,6 +98,33 @@ def test_arrow_converges_on_multi_error_window():
             if len(out.seq) == len(truth) else -1))
 
 
+def test_arrow_queue_exceeds_chunk_still_converges():
+    """7 seeded errors with arrow_candidates=2: the round-robin candidate
+    queue cycles through chunks of 2 and still recovers the exact truth
+    (VERDICT.md weak #4: frozen prep-time candidate list)."""
+    from falcon_unzip_tpu.seq import SeqBatch
+    rng = np.random.default_rng(71)
+    L = 384
+    truth = random_genome(L, 71)
+    draft = truth.copy()
+    pos = np.sort(rng.choice(np.arange(30, L - 30, 12), size=6,
+                             replace=False))
+    for p in pos[:5]:
+        draft[p] = (draft[p] + 1 + rng.integers(0, 3)) % 4
+    draft = np.delete(draft, pos[5])          # plus one deletion error
+    reads = [mutate_read(truth, 0.04, rng) for _ in range(16)]
+    batch = SeqBatch.from_strs(reads, names=[f"r{i}"
+                                             for i in range(len(reads))])
+    aln = ReadToContigAligner([draft]).align_batch(batch)
+    cfg = PolisherConfig(window=512, arrow_rounds=24, arrow_candidates=2,
+                         margin_frac=0.9)
+    out = Polisher(cfg).polish_contig("w", draft, aln, 0)
+    assert np.array_equal(out.seq, truth), (
+        len(out.seq), len(truth),
+        int((out.seq[: len(truth)] != truth[: len(out.seq)]).sum()
+            if len(out.seq) == len(truth) else -1))
+
+
 def test_arrow_matches_window_oracle():
     """Production greedy loop == oracle.polish_window_oracle decisions on
     a small window (same candidates, same full-HMM scorer)."""
