@@ -126,3 +126,46 @@ def test_host_shard_merge_equivalence():
         np.testing.assert_array_equal(getattr(merged, f), getattr(full, f))
     for a, b in zip(merged.tags, full.tags):
         np.testing.assert_array_equal(a, b)
+
+
+def test_chimeric_read_gets_multiple_placements():
+    """A junction-spanning (chimeric) read: half from contig A + half from
+    contig B.  max_hits_per_read=1 keeps ONE placement; =2 emits both
+    halves on their own contigs ([U] blasr emits split/supplementary
+    alignments — VERDICT.md missing #7)."""
+    import dataclasses
+
+    from falcon_unzip_tpu.utils.simulate import random_genome
+
+    ca = random_genome(5000, 901)
+    cb = random_genome(5000, 902)
+    chimera = np.concatenate([ca[1000:2500], cb[2000:3500]])
+    normal = ca[3000:4600].copy()
+    from falcon_unzip_tpu.seq import SeqBatch, decode
+    batch = SeqBatch.from_strs([decode(chimera), decode(normal)])
+
+    al = ReadToContigAligner([ca, cb])
+    single = al.align_batch(batch)
+    al2 = ReadToContigAligner([ca, cb])
+    al2.cfg = dataclasses.replace(al2.cfg, max_hits_per_read=2)
+    multi = al2.align_batch(batch)
+
+    # read 0: one placement in single-hit mode, both contigs in multi
+    s0 = [int(single.ctg[a]) for a in range(len(single))
+          if single.read_id[a] == 0]
+    m0 = {int(multi.ctg[a]) for a in range(len(multi))
+          if multi.read_id[a] == 0}
+    assert len(s0) == 1
+    assert m0 == {0, 1}, m0
+    # each placement covers its own half's interval
+    for a in range(len(multi)):
+        if int(multi.read_id[a]) != 0:
+            continue
+        lo, hi = int(multi.t_start[a]), int(multi.t_end[a])
+        if int(multi.ctg[a]) == 0:
+            assert lo >= 900 and hi <= 2600, (lo, hi)
+        else:
+            assert lo >= 1900 and hi <= 3600, (lo, hi)
+    # the normal read is single-placement in both modes
+    m1 = [a for a in range(len(multi)) if int(multi.read_id[a]) == 1]
+    assert len(m1) == 1 and int(multi.ctg[m1[0]]) == 0

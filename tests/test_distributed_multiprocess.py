@@ -161,6 +161,151 @@ def test_two_process_full_pipeline_byte_identical(tmp_path):
         + ", ".join(mismatches))
 
 
+_KILLED_WORKER = r"""
+import os, signal, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+d = sys.argv[1]
+from falcon_unzip_tpu.config import PipelineConfig
+from falcon_unzip_tpu.pipeline.unzip import run_unzip
+import falcon_unzip_tpu.pipeline.unzip as U
+
+# fault injection: worker 1 SIGKILLs ITSELF (no cleanup, no marker
+# writes) at the first per-contig phasing call — mid 2-phasing stage,
+# after 1-align completed
+if os.environ["JAX_PROCESS_ID"] == "1":
+    def _die(*a, **k):
+        print("INJECTING-SIGKILL", flush=True)
+        os.kill(os.getpid(), signal.SIGKILL)
+    U.phase_contig_device = _die
+
+cfg = PipelineConfig(preads=f"{d}/preads.fa", reads=f"{d}/raw.fa",
+                     draft=f"{d}/draft.fa", out_dir=f"{d}/out_mp")
+cfg.mesh.multihost = True
+run_unzip(cfg)
+print(f"WORKER-OK process={jax.process_index()}", flush=True)
+"""
+
+_RESUME_WORKER = r"""
+import os, sys
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=2").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+d = sys.argv[1]
+from falcon_unzip_tpu.config import PipelineConfig
+from falcon_unzip_tpu.pipeline.quiver import run_quiver
+from falcon_unzip_tpu.pipeline.unzip import run_unzip
+cfg = PipelineConfig(preads=f"{d}/preads.fa", reads=f"{d}/raw.fa",
+                     draft=f"{d}/draft.fa", out_dir=f"{d}/out_mp")
+cfg.mesh.multihost = True
+run_unzip(cfg)
+run_quiver(cfg)
+print(f"WORKER-OK process={jax.process_index()}", flush=True)
+"""
+
+
+def _spawn_workers(script, d, port, n=2):
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = []
+    for i in range(n):
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)
+        env["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+        env["JAX_NUM_PROCESSES"] = str(n)
+        env["JAX_PROCESS_ID"] = str(i)
+        procs.append(subprocess.Popen(
+            [sys.executable, "-c", script, d], cwd=repo, env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True))
+    return procs
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.slow
+def test_worker_sigkill_then_resume_byte_identical(tmp_path):
+    """Fault injection (SURVEY.md §5 failure-detection row): worker 1 is
+    SIGKILLed mid 2-phasing (no cleanup), the surviving worker is torn
+    down, and a fresh 2-process relaunch resumes from the durable stage
+    markers to artifacts byte-identical with the single-process run."""
+    from falcon_unzip_tpu.config import PipelineConfig
+    from falcon_unzip_tpu.io.fasta import write_fasta
+    from falcon_unzip_tpu.pipeline.quiver import run_quiver
+    from falcon_unzip_tpu.pipeline.unzip import run_unzip
+    from falcon_unzip_tpu.seq import decode
+    from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
+
+    d = str(tmp_path)
+    dip = make_diploid(length=3000, het_rate=0.02, seed=41,
+                       het_span=(0.25, 0.75))
+    pr = simulate_reads(dip, coverage=10.0, read_len=1200,
+                        error_rate=0.0, seed=42)
+    raw = simulate_reads(dip, coverage=12.0, read_len=1000,
+                         error_rate=0.03, seed=43)
+    write_fasta(f"{d}/preads.fa",
+                ((pr.batch.names[i], pr.batch.to_str(i))
+                 for i in range(len(pr.batch))))
+    write_fasta(f"{d}/raw.fa",
+                ((raw.batch.names[i], raw.batch.to_str(i))
+                 for i in range(len(raw.batch))))
+    write_fasta(f"{d}/draft.fa", [("d0", decode(dip.hap0))])
+
+    cfg = PipelineConfig(preads=f"{d}/preads.fa", reads=f"{d}/raw.fa",
+                         draft=f"{d}/draft.fa", out_dir=f"{d}/out_sp")
+    run_unzip(cfg)
+    run_quiver(cfg)
+
+    # ---- attempt 1: worker 1 dies by SIGKILL mid-stage
+    procs = _spawn_workers(_KILLED_WORKER, d, _free_port())
+    out1, _ = procs[1].communicate(timeout=600)
+    assert procs[1].returncode == -9, (procs[1].returncode, out1[-2000:])
+    assert "INJECTING-SIGKILL" in out1
+    assert "WORKER-OK" not in out1
+    # the survivor is blocked in the phasing collective; failure
+    # detection (the job supervisor role) tears it down
+    try:
+        out0, _ = procs[0].communicate(timeout=20)
+    except subprocess.TimeoutExpired:
+        procs[0].kill()
+        out0, _ = procs[0].communicate()
+    assert "WORKER-OK" not in out0, out0[-1000:]
+    # the killed stage left no done marker
+    assert not os.path.exists(
+        os.path.join(d, "out_mp", "3-unzip", "2-phasing",
+                     "stage.done.json"))
+
+    # ---- attempt 2: fresh relaunch resumes and completes
+    procs = _spawn_workers(_RESUME_WORKER, d, _free_port())
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("resume worker timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"resume worker {i} failed:\n{out[-3000:]}"
+        assert "WORKER-OK" in out, out[-500:]
+
+    mismatches = []
+    for rel in _COMPARE:
+        sp = open(os.path.join(d, "out_sp", rel), "rb").read()
+        mp = open(os.path.join(d, "out_mp", rel), "rb").read()
+        if sp != mp:
+            mismatches.append(rel)
+    assert not mismatches, (
+        "post-crash resume diverged from single-process run: "
+        + ", ".join(mismatches))
+
+
 @pytest.mark.slow
 def test_two_process_distributed_psum(tmp_path):
     with socket.socket() as s:
