@@ -81,6 +81,11 @@ class PolishCfg:
     score_batch: int = 8192      # legacy re-forward pairs per dispatch
     splice_chunk: int = 512      # (read, window) pairs per splice dispatch
     use_pallas: bool = True      # TPU path for the HMM scorer (auto)
+    qv_aware: bool = False       # per-read base-quality HMM tier: reads
+                                 # with a FASTQ/BAM quality track get
+                                 # emission/transition params scaled to
+                                 # their mean QV (oracle.hmm.
+                                 # params_for_read_qv)
 
 
 @dataclasses.dataclass

@@ -76,12 +76,18 @@ def read_fasta(path: str, align: int = 128,
 
 
 def read_fastq(path: str, align: int = 128) -> tuple[SeqBatch, list[bytes]]:
+    import numpy as np
     names, seqs, quals = [], [], []
     for name, s, q in iter_fastq(path):
         names.append(name)
         seqs.append(encode(s))
         quals.append(q)
-    return SeqBatch.from_strs(seqs, names=names, align=align), quals
+    batch = SeqBatch.from_strs(seqs, names=names, align=align)
+    # per-read mean phred (the QV-aware polish tier reads this)
+    batch.mean_qv = np.array(
+        [float(np.frombuffer(q, np.uint8).mean()) - 33.0 if q else 0.0
+         for q in quals], np.float32)
+    return batch, quals
 
 
 def write_fasta(path: str, records, width: int = 80) -> None:

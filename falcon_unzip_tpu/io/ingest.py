@@ -77,7 +77,15 @@ def concat_batches(batches: list[SeqBatch]) -> SeqBatch:
             at += 1
         names.extend(b.names if b.names else
                      [f"read/{j}" for j in range(len(b))])
-    return SeqBatch(data=data, lengths=lengths, names=names)
+    mean_qv = None
+    if any(b.mean_qv is not None for b in batches):
+        # reads without a quality track get qv 0 = "no information";
+        # the QV-aware tier treats <=0 as "use global params"
+        mean_qv = np.concatenate([
+            b.mean_qv if b.mean_qv is not None
+            else np.zeros(len(b), np.float32) for b in batches])
+    return SeqBatch(data=data, lengths=lengths, names=names,
+                    mean_qv=mean_qv)
 
 
 def read_seqs(path: str) -> SeqBatch:

@@ -62,6 +62,17 @@ class AlnSet:
             dist=self.dist[order],
             tags=[self.tags[i] for i in order])
 
+    def subset(self, mask: np.ndarray) -> "AlnSet":
+        """Records selected by a boolean mask (or index array), order
+        preserved — the contig-owner routing primitive."""
+        idx = np.nonzero(mask)[0] if mask.dtype == bool else mask
+        return AlnSet(
+            read_id=self.read_id[idx], ctg=self.ctg[idx],
+            strand=self.strand[idx], t_start=self.t_start[idx],
+            t_end=self.t_end[idx], q_len=self.q_len[idx],
+            dist=self.dist[idx],
+            tags=[self.tags[i] for i in idx])
+
     def to_bytes(self) -> bytes:
         """Pack into one msgpack blob (the cross-host gather payload)."""
         from ..parallel.distributed import pack_arrays

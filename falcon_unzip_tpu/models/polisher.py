@@ -54,7 +54,18 @@ class PolisherConfig:
                                      # (legacy re-forward path only)
     splice_chunk: int = 512          # (read, template) pairs per splice
                                      # dispatch (ops.arrow)
+    splice_len_cap: int = 0          # pinned splice shapes (0 = auto:
+                                     # window + 256 rounded up); segments
+                                     # or consensi beyond the cap are
+                                     # deterministically excluded from
+                                     # mutation testing so scores never
+                                     # depend on batch composition
     params: HMMParams = dataclasses.field(default_factory=HMMParams)
+
+    def len_cap(self) -> int:
+        if self.splice_len_cap:
+            return self.splice_len_cap
+        return -(-(self.window + 256) // 128) * 128
 
 
 @dataclasses.dataclass
@@ -131,7 +142,7 @@ def window_votes(aln: AlnSet, rec_idx: np.ndarray, lo: int, hi: int):
 
 class Polisher:
     def __init__(self, cfg: PolisherConfig | None = None, scorer=None,
-                 vote_ops=None, splicer=None):
+                 vote_ops=None, splicer=None, read_pvecs=None):
         """scorer: optional LEGACY pair-HMM scorer override with the
         (q, t, n, m) -> ll interface; injecting one selects the full
         re-forward refinement path (kept for oracle-equivalence tests).
@@ -145,9 +156,16 @@ class Polisher:
         vote_ops: optional parallel.sharding.ShardedWindowVotes — builds
         the per-window vote tensors window-SHARDED over the mesh (device
         scatter + psum + ppermute halo exchange) instead of the host
-        vote_matrix; bit-identical votes, distributed scatter."""
+        vote_matrix; bit-identical votes, distributed scatter.
+
+        read_pvecs: optional (n_reads, 10) float32 per-READ HMM
+        log-params (ops.pairhmm.params_vector order) — the
+        base-quality-conditioned tier; rows are attached to each
+        window segment by its read id and flow into the splice kernel
+        per pair."""
         self.cfg = cfg or PolisherConfig()
         self._vote_ops = vote_ops
+        self._read_pvecs = read_pvecs
         self._scorer = scorer
         if scorer is not None:
             self._splicer = None
@@ -156,9 +174,11 @@ class Polisher:
             self._splicer = splicer
         else:
             from ..ops.arrow import ArrowSplicer
+            cap = self.cfg.len_cap()
             self._splicer = ArrowSplicer(
                 max_cand=self.cfg.arrow_candidates,
-                params=self.cfg.params, chunk=self.cfg.splice_chunk)
+                params=self.cfg.params, chunk=self.cfg.splice_chunk,
+                fixed_lq=cap, fixed_lj=cap)
 
     # -- window consensus --------------------------------------------------
 
@@ -244,6 +264,7 @@ class Polisher:
             cns, _cov, cns_of_t = self._vote_consensus(votes,
                                                        template[lo:hi])
             segs = []
+            seg_rids = []
             # full-span records only: same predicate window_read_segments
             # applies on non-gap tag extrema (tmin == t_start,
             # tmax == t_end - 1 for records starting/ending on matches)
@@ -258,15 +279,23 @@ class Polisher:
                 if not m.any():
                     continue
                 inw = st[m]
-                if int(inw[0, 0]) <= lo + 2 and int(inw[-1, 0]) >= hi - 3:
+                if (int(inw[0, 0]) <= lo + 2 and int(inw[-1, 0]) >= hi - 3
+                        and len(inw) <= self.cfg.len_cap()):
+                    # segments beyond the pinned splice shape are
+                    # excluded from scoring (deterministic cap, see
+                    # PolisherConfig.splice_len_cap)
                     segs.append(inw[:, 2].astype(np.int8))
+                    seg_rids.append(int(aln.read_id[rec_idx[local]]))
             active = (cfg.arrow_rounds > 0 and len(cns) > 0
                       and len(segs) >= max(cfg.min_cov, cfg.arrow_min_cov))
             cand = (self._candidates(cns, votes, cns_of_t)
                     if active else [])
+            seg_pvecs = None
+            if self._read_pvecs is not None and segs:
+                seg_pvecs = np.asarray(self._read_pvecs)[seg_rids]
             states.append(_WinState(cns=cns, votes=votes, segs=segs,
                                     active=active and bool(cand),
-                                    cand=cand))
+                                    cand=cand, seg_pvecs=seg_pvecs))
             if hi >= t_len:
                 break
             lo += step
@@ -307,7 +336,8 @@ class Polisher:
                 if not st.active:
                     continue
                 st.cand = [p for p in st.cand if 0 <= p < len(st.cns)]
-                if not st.cand or not len(st.cns):
+                if (not st.cand or not len(st.cns)
+                        or len(st.cns) >= self.cfg.len_cap()):
                     st.active = False
                     continue
                 nq = len(st.cand)
@@ -505,11 +535,17 @@ class Polisher:
         return self._stitch_contig(name, states)
 
     def polish_all(self, contigs: list[tuple[str, np.ndarray]],
-                   aln: AlnSet) -> list[PolishedContig]:
+                   aln: AlnSet, ids: list[int] | None = None
+                   ) -> list[PolishedContig]:
         """Polish every contig with refinement batched across ALL windows
-        of ALL contigs (one scoring batch per round, chunked)."""
+        of ALL contigs (one scoring batch per round, chunked).
+
+        ids: explicit AlnSet contig ids for each entry (the contig-owner
+        dataflow polishes a SUBSET of global contigs; default = position)."""
+        if ids is None:
+            ids = list(range(len(contigs)))
         per_ctg = [self._prep_windows(seq, aln, ci)
-                   for ci, (_nm, seq) in enumerate(contigs)]
+                   for ci, (_nm, seq) in zip(ids, contigs)]
         flat = [st for states in per_ctg for st in states]
         self._refine_windows(flat)
         return [self._stitch_contig(nm, states)

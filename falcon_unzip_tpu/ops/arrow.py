@@ -242,16 +242,30 @@ class ArrowSplicer:
     """
 
     def __init__(self, max_cand: int = 8, params: HMMParams | None = None,
-                 chunk: int = 512):
+                 chunk: int = 512, fixed_lq: int | None = None,
+                 fixed_lj: int | None = None):
+        """fixed_lq/fixed_lj: pin the padded read/template shapes.  With
+        data-derived shapes, a pair's logsumexp reduction tree depends on
+        the LONGEST member of its batch, so the same pair scored in a
+        differently-composed batch can differ in the last float bit;
+        pinned shapes make every score a pure function of the pair alone
+        — required for contig-owner sharding to stay byte-identical with
+        the single-host run (callers must filter inputs to fit)."""
         from .pairhmm import params_vector
         self.C = max_cand
         self.chunk = chunk
         self.pvec1 = params_vector(params)
+        self.fixed_lq = fixed_lq
+        self.fixed_lj = fixed_lj
 
     def _shapes(self, qs, ts):
-        Lq = _round_up(max((len(q) for q in qs), default=1))
-        LJ = _round_up(max((len(t) for t in ts), default=1) + 1)
-        return Lq, LJ
+        max_q = max((len(q) for q in qs), default=1)
+        max_t = max((len(t) for t in ts), default=1)
+        if self.fixed_lq is not None:
+            assert max_q <= self.fixed_lq and max_t < self.fixed_lj, (
+                max_q, max_t, self.fixed_lq, self.fixed_lj)
+            return self.fixed_lq, self.fixed_lj
+        return _round_up(max_q), _round_up(max_t + 1)
 
     def _pick_chunk(self, N: int) -> int:
         # power-of-two ladder: small batches don't pad to the full

@@ -46,6 +46,32 @@ class HMMParams:
         }
 
 
+def params_for_read_qv(qv: float, base: HMMParams | None = None
+                       ) -> HMMParams:
+    """Base-quality-conditioned HMM tier (SURVEY.md §2b variantCaller
+    row: real Arrow conditions emissions on per-read features).
+
+    The read's mean phred QV sets its total error budget
+    p_err = 10^(-qv/10), split across error channels in the base
+    params' proportions; qv <= 0 (no quality track) keeps the base
+    params.  A per-READ scalar tier — coarser than per-base
+    conditioning, but it already down-weights noisy reads against
+    clean ones in mutation scoring.
+    """
+    base = base or HMMParams()
+    if qv <= 0:
+        return base
+    # clamp: a mean-QV read tier shouldn't claim per-base certainty
+    p_err = min(10.0 ** (-min(qv, 35.0) / 10.0), 0.45)
+    tot = base.e_sub + base.p_ins + base.p_del
+    scale = p_err / tot
+    return HMMParams(
+        e_sub=min(base.e_sub * scale, 0.24),
+        p_ins=min(base.p_ins * scale, 0.24),
+        p_del=min(base.p_del * scale, 0.24),
+        eps_ins=base.eps_ins, eps_del=base.eps_del)
+
+
 def forward_full(q: np.ndarray, t: np.ndarray,
                  params: HMMParams | None = None) -> float:
     """Full O(nm) forward log-likelihood (float32 accumulation)."""

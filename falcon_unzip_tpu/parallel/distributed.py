@@ -133,6 +133,62 @@ def allgather_bytes(payload: bytes) -> list[bytes]:
             for i in range(jax.process_count())]
 
 
+def exchange_to_owners(blobs: list[bytes]) -> list[bytes]:
+    """All-to-all byte exchange: ``blobs[d]`` is this host's payload for
+    destination host d; returns the payloads every host addressed to
+    SELF, in source-process order.
+
+    This is the record-regroup primitive of the contig-owner dataflow
+    (SURVEY.md §2c all_to_all row): after host-sharded alignment each
+    host routes its records to the owner of their contig instead of
+    every host merging everything.  Implementation: one allgather round
+    per destination, retaining only the round addressed to this host —
+    total bytes moved match the old full allgather, but each host's
+    RETAINED working set drops from O(genome) to O(owned contigs), and
+    the transient per-round buffer is O(total / n_hosts).
+    """
+    import jax
+    P = jax.process_count()
+    if P == 1:
+        return [blobs[0]]
+    assert len(blobs) == P, (len(blobs), P)
+    me = jax.process_index()
+    mine: list[bytes] = []
+    for dest in range(P):
+        got = allgather_bytes(blobs[dest])
+        if dest == me:
+            mine = got
+    return mine
+
+
+def gather_to_primary(payload: bytes) -> list[bytes] | None:
+    """Gather one blob per host; only host 0 returns the list (others
+    return None and retain nothing).  Collective — every host must call."""
+    got = allgather_bytes(payload)
+    return got if is_primary_host() else None
+
+
+def contig_owners(lengths, n_hosts: int):
+    """Deterministic length-balanced contig -> owner-host partition.
+
+    Greedy LPT bin packing over contig lengths (ties and assignment order
+    fixed by contig index), so every host derives the identical map with
+    no communication.  Returns (n_ctg,) int32 of host ids.
+    """
+    import numpy as np
+    lengths = np.asarray(lengths, np.int64)
+    owners = np.zeros(len(lengths), np.int32)
+    if n_hosts <= 1:
+        return owners
+    order = np.argsort(-lengths, kind="stable")   # longest first
+    load = [0] * n_hosts
+    for ci in order:
+        h = int(np.argmin(load))                  # first least-loaded host
+        owners[ci] = h
+        load[h] += int(lengths[ci])
+    return owners
+
+
 def pack_arrays(cols: dict) -> bytes:
     """msgpack a dict of numpy arrays (dtype+shape preserved)."""
     import numpy as np

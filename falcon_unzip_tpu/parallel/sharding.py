@@ -145,7 +145,7 @@ def _global_rows(full: np.ndarray, mesh: Mesh, spec: P):
     import jax
     from jax.sharding import NamedSharding
     sharding = NamedSharding(mesh, spec)
-    if jax.process_count() == 1:
+    if jax.process_count() == 1 or _mesh_is_local(mesh):
         return jax.device_put(full, sharding)
     per = full.shape[0] // jax.process_count()
     p = jax.process_index()
@@ -159,10 +159,19 @@ def _global_repl(full: np.ndarray, mesh: Mesh):
     import jax
     from jax.sharding import NamedSharding
     sharding = NamedSharding(mesh, P())
-    if jax.process_count() == 1:
+    if jax.process_count() == 1 or _mesh_is_local(mesh):
         return jax.device_put(full, sharding)
     return jax.make_array_from_process_local_data(sharding, full,
                                                   full.shape)
+
+
+def _mesh_is_local(mesh: Mesh) -> bool:
+    """True when every mesh device belongs to THIS process (the
+    contig-owner dataflow's per-host local mesh): plain device_put works
+    and make_array_from_process_local_data must not be used."""
+    import jax
+    me = jax.process_index()
+    return all(d.process_index == me for d in mesh.devices.flat)
 
 
 def _bucket(n: int, mult: int) -> int:
@@ -358,10 +367,12 @@ class ShardedArrowSplicer:
     """
 
     def __init__(self, mesh: Mesh, max_cand: int = 8, params=None,
-                 chunk: int = 512):
+                 chunk: int = 512, fixed_lq: int | None = None,
+                 fixed_lj: int | None = None):
         from ..ops.arrow import ArrowSplicer
         self._base = ArrowSplicer(max_cand=max_cand, params=params,
-                                  chunk=chunk)
+                                  chunk=chunk, fixed_lq=fixed_lq,
+                                  fixed_lj=fixed_lj)
         self._base._dispatch = self._dispatch
         self._base._pick_chunk = self._pick_chunk
         self.C = max_cand
@@ -512,14 +523,26 @@ class ShardedWindowVotes:
         return blocks, seg
 
 
-def make_pipeline_mesh(n_devices: int = 0, window_par: int = 0):
+def make_pipeline_mesh(n_devices: int = 0, window_par: int = 0,
+                       local_only: bool = False):
     """Mesh for the pipeline drivers: None when only one device is visible
-    (single-chip path) or when n_devices == 1 (explicitly disabled)."""
+    (single-chip path) or when n_devices == 1 (explicitly disabled).
+
+    local_only: mesh over THIS PROCESS's devices only — the contig-owner
+    dataflow runs each host's per-contig device programs independently
+    (no cross-host collectives inside them), so the mesh must not span
+    processes."""
     if n_devices == 1:
         return None
-    avail = len(jax.devices())
+    devs = jax.local_devices() if local_only else jax.devices()
+    avail = len(devs)
     n = min(n_devices, avail) if n_devices else avail
     if n < 2:
         return None
     from .mesh import make_mesh
+    if local_only:
+        import numpy as np
+        wp = window_par or (2 if (n % 2 == 0 and n > 2) else 1)
+        arr = np.array(devs[:n]).reshape(n // wp, wp)
+        return Mesh(arr, axis_names=("data", "window"))
     return make_mesh(n, window_par or None)

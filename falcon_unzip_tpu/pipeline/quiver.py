@@ -22,7 +22,7 @@ from ..config import PipelineConfig
 from ..io.fasta import read_fasta, write_fasta, write_fastq
 from ..io.serialize import serialize
 from ..models.aligner import AlignerConfig, ReadToContigAligner
-from ..models.polisher import Polisher, PolisherConfig
+from ..models.polisher import Polisher, PolisherConfig, PolishedContig
 from ..parallel.checkpoint import Stage
 from ..seq import decode
 from ..utils.metrics import MetricsLog, assembly_stats
@@ -77,11 +77,22 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
     reads = read_seqs(reads_path)   # FASTA/FASTQ/BAM or .fofn of them
     logger.info("polish: %d reads vs %d contigs", len(reads), len(contigs))
 
+    # ---- contig-owner partition over p_ctg + h_ctg (SURVEY.md §2c
+    # all_to_all row): the owner host window-preps and polishes only its
+    # contigs; host memory/compute are O(genome / n_hosts)
+    n_hosts = dist.process_count()
+    owners = dist.contig_owners([len(c) for c in contigs], n_hosts)
+    my_host = 0
+    if multi:
+        import jax
+        my_host = jax.process_index()
+
     # reads are aligned once, lazily — if every stage below is up to date
     # on resume, the (expensive) alignment never runs
     _aln = {}
 
     def get_aln():
+        """Owned-contig AlnSet (multi: records routed to contig owners)."""
         if "a" not in _aln:
             aligner = ReadToContigAligner(contigs, AlignerConfig(
                 k=cfg.align.k, band=cfg.align.band,
@@ -89,14 +100,17 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
                 min_identity=cfg.align.min_identity,
                 batch_pairs=cfg.align.batch_pairs))
             if multi:
-                # host-sharded raw-read alignment + cross-host gather
+                # host-sharded raw-read alignment, then owner routing
                 # (see pipeline.unzip.get_aln)
                 from ..models.aligner import AlnSet
                 local = aligner.align_batch(
                     reads, read_range=dist.host_shard(len(reads)))
+                rec_owner = owners[local.ctg]
+                blobs = [local.subset(rec_owner == d).to_bytes()
+                         for d in range(n_hosts)]
                 _aln["a"] = AlnSet.merge(
                     [AlnSet.from_bytes(b)
-                     for b in dist.allgather_bytes(local.to_bytes())])
+                     for b in dist.exchange_to_owners(blobs)])
             else:
                 _aln["a"] = aligner.align_batch(reads)
         return _aln["a"]
@@ -108,9 +122,18 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
 
     def _track(st: Stage):
         aln = get_aln()
-        r2c = {int(aln.read_id[a]): int(aln.ctg[a]) for a in range(len(aln))}
+        rid, ctg = aln.read_id, aln.ctg
+        if multi:
+            from ..parallel.distributed import pack_arrays, unpack_arrays
+            parts = [unpack_arrays(b) for b in dist.allgather_bytes(
+                pack_arrays({"rid": rid, "ctg": ctg}))]
+            rid = np.concatenate([p["rid"] for p in parts])
+            ctg = np.concatenate([p["ctg"] for p in parts])
+            order = np.argsort(rid, kind="stable")
+            rid, ctg = rid[order], ctg[order]
+        r2c = {int(rid[a]): int(ctg[a]) for a in range(len(rid))}
         serialize(st.out("read_to_contig_map.msgpack"), r2c)
-        return {"n_aligned": len(aln)}
+        return {"n_aligned": len(r2c)}
 
     track_stage.run(_track)
 
@@ -125,15 +148,7 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
         from ..parallel.sharding import (ShardedArrowSplicer,
                                          ShardedWindowVotes,
                                          make_pipeline_mesh)
-        mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par)
-        splicer = ShardedArrowSplicer(
-            mesh, max_cand=cfg.polish.arrow_candidates,
-            chunk=cfg.polish.splice_chunk) if mesh is not None else None
-        vote_ops = ShardedWindowVotes(mesh) \
-            if mesh is not None and mesh.shape["window"] > 1 else None
-        if mesh is not None:
-            logger.info("polish scoring over mesh %s", dict(mesh.shape))
-        polisher = Polisher(PolisherConfig(
+        pcfg = PolisherConfig(
             window=cfg.polish.window, overlap=cfg.polish.overlap,
             min_cov=cfg.polish.min_cov, arrow_rounds=cfg.polish.arrow_rounds,
             arrow_candidates=cfg.polish.arrow_candidates,
@@ -142,9 +157,57 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
             hmm_band=cfg.polish.hmm_band,
             score_batch=cfg.polish.score_batch,
             splice_chunk=cfg.polish.splice_chunk,
-            use_pallas=None if cfg.polish.use_pallas else False),
-            splicer=splicer, vote_ops=vote_ops)
-        polished = polisher.polish_all(list(zip(names, contigs)), get_aln())
+            use_pallas=None if cfg.polish.use_pallas else False)
+        # contig-owner dataflow: device programs are per-host, mesh local
+        mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par,
+                                  local_only=multi)
+        splicer = ShardedArrowSplicer(
+            mesh, max_cand=pcfg.arrow_candidates,
+            chunk=pcfg.splice_chunk, fixed_lq=pcfg.len_cap(),
+            fixed_lj=pcfg.len_cap()) if mesh is not None else None
+        vote_ops = ShardedWindowVotes(mesh) \
+            if mesh is not None and mesh.shape["window"] > 1 else None
+        if mesh is not None:
+            logger.info("polish scoring over mesh %s", dict(mesh.shape))
+        read_pvecs = None
+        if cfg.polish.qv_aware and reads.mean_qv is not None:
+            # base-quality tier: per-read params from the mean phred
+            # track (reads without one, qv<=0, keep global params)
+            from ..oracle.hmm import params_for_read_qv
+            from ..ops.pairhmm import params_vector
+            read_pvecs = np.stack(
+                [params_vector(params_for_read_qv(float(q)))
+                 for q in reads.mean_qv])
+            logger.info("qv-aware polish: %d reads with quality tiers",
+                        int((reads.mean_qv > 0).sum()))
+        polisher = Polisher(pcfg, splicer=splicer, vote_ops=vote_ops,
+                            read_pvecs=read_pvecs)
+        my = (np.nonzero(owners == my_host)[0] if multi
+              else np.arange(len(contigs)))
+        local_polished = polisher.polish_all(
+            [(names[int(i)], contigs[int(i)]) for i in my], get_aln(),
+            ids=[int(i) for i in my])
+        if multi:
+            # gather per-contig pieces to host 0 (canonical emitter)
+            from ..parallel.distributed import pack_arrays, unpack_arrays
+            cols = {"idx": np.asarray(my, np.int64)}
+            for j, c in enumerate(local_polished):
+                cols[f"s{j}"] = c.seq
+                cols[f"q{j}"] = c.qv
+            got = dist.gather_to_primary(pack_arrays(cols))
+            if got is None:
+                return {}
+            by_idx = {}
+            for blob in got:
+                part = unpack_arrays(blob)
+                for j, gi in enumerate(part["idx"]):
+                    gi = int(gi)
+                    by_idx[gi] = PolishedContig(
+                        name=names[gi], seq=part[f"s{j}"],
+                        qv=part[f"q{j}"])
+            polished = [by_idx[i] for i in range(len(contigs))]
+        else:
+            polished = local_polished
         p_out = [c for i, c in enumerate(polished) if i < n_primary]
         h_out = [c for i, c in enumerate(polished) if i >= n_primary]
         _emit(out, "cns_p_ctg", p_out)

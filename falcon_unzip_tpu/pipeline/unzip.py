@@ -77,7 +77,13 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
 
     overlaps_holder: dict = {}
 
-    def _compute_overlaps():
+    def _compute_overlaps(primary_only: bool = False):
+        """Host-sharded overlap compute.
+
+        primary_only (the hasm path): the merged OverlapSet is retained
+        on host 0 only — the string graph is host-0 work in the
+        contig-owner dataflow, so other hosts keep O(shard) memory and
+        return None.  Collective: every host must call."""
         if "ovl" not in overlaps_holder:
             ov_cfg = OverlapperConfig(
                 k=cfg.overlap.k, band=cfg.overlap.band,
@@ -91,9 +97,15 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
                 # overlap stream (OverlapSet.sort_canonical)
                 local = overlapper.compute(dist.host_shard(len(preads)))
                 from ..models.overlapper import OverlapSet
-                overlaps_holder["ovl"] = OverlapSet.merge(
-                    [OverlapSet.from_bytes(b)
-                     for b in dist.allgather_bytes(local.to_bytes())])
+                if primary_only:
+                    got = dist.gather_to_primary(local.to_bytes())
+                    overlaps_holder["ovl"] = OverlapSet.merge(
+                        [OverlapSet.from_bytes(b) for b in got]) \
+                        if got is not None else None
+                else:
+                    overlaps_holder["ovl"] = OverlapSet.merge(
+                        [OverlapSet.from_bytes(b)
+                         for b in dist.allgather_bytes(local.to_bytes())])
             else:
                 overlaps_holder["ovl"] = overlapper.compute()
         return overlaps_holder["ovl"]
@@ -121,12 +133,25 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
     draft = read_fasta(draft_stage.out("draft_p_ctg.fa"))
     contigs = [draft.row(i) for i in range(len(draft))]
 
+    # ---- contig-owner partition (SURVEY.md §2c all_to_all row): each
+    # host OWNS a length-balanced subset of contigs; post-alignment host
+    # work (phasing, window prep) runs only on the owner, so host memory
+    # and compute are O(genome / n_hosts) instead of O(genome)
+    n_hosts = dist.process_count()
+    owners = dist.contig_owners([len(c) for c in contigs], n_hosts)
+    my_host = 0
+    if multi:
+        import jax
+        my_host = jax.process_index()
+
     # ---- stage 1: track + align reads to draft (blasr/phasing prep role)
     # the alignment is computed lazily: a fully up-to-date resume reloads
     # everything downstream from stage outputs and never aligns
     _aln_cache: dict = {}
 
     def get_aln():
+        """Owned-contig AlnSet: host-sharded alignment, records routed to
+        each contig's owner host (multi); the full set on one host."""
         if "a" not in _aln_cache:
             aligner = ReadToContigAligner(contigs, AlignerConfig(
                 k=cfg.align.k, band=cfg.align.band,
@@ -135,18 +160,38 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
                 batch_pairs=cfg.align.batch_pairs))
             if multi:
                 # host-sharded alignment (the wall-clock dominant stage):
-                # each host seeds + DP-verifies its read shard, the
-                # gathered union is canonically re-sorted -> every host
-                # holds the identical full AlnSet
+                # each host seeds + DP-verifies its read shard, then
+                # routes each record to its contig's OWNER; the owner's
+                # canonical merge is byte-identical to the records the
+                # old full allgather held for those contigs
                 from ..models.aligner import AlnSet
                 local = aligner.align_batch(
                     preads, read_range=dist.host_shard(len(preads)))
+                rec_owner = owners[local.ctg]
+                blobs = [local.subset(rec_owner == d).to_bytes()
+                         for d in range(n_hosts)]
                 _aln_cache["a"] = AlnSet.merge(
                     [AlnSet.from_bytes(b)
-                     for b in dist.allgather_bytes(local.to_bytes())])
+                     for b in dist.exchange_to_owners(blobs)])
             else:
                 _aln_cache["a"] = aligner.align_batch(preads)
         return _aln_cache["a"]
+
+    def _gather_track_cols():
+        """Global per-read placement columns from owner-sharded AlnSets
+        (small arrays: O(reads), no tags)."""
+        aln = get_aln()
+        cols = {"rid": aln.read_id, "ctg": aln.ctg, "ts": aln.t_start,
+                "te": aln.t_end, "st": aln.strand.astype(np.int32)}
+        if not multi:
+            return cols
+        from ..parallel.distributed import pack_arrays, unpack_arrays
+        parts = [unpack_arrays(b)
+                 for b in dist.allgather_bytes(pack_arrays(cols))]
+        merged = {k: np.concatenate([p[k] for p in parts])
+                  for k in cols}
+        order = np.argsort(merged["rid"], kind="stable")
+        return {k: v[order] for k, v in merged.items()}
 
     align_stage = Stage(out, "1-align",
                         inputs=[cfg.preads, draft_stage.out("draft_p_ctg.fa")],
@@ -154,13 +199,15 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
                         resume=cfg.resume, sync=sync)
 
     def _track(st: Stage):
-        aln = get_aln()
-        r2c = {int(aln.read_id[a]): [int(aln.ctg[a]), int(aln.t_start[a]),
-                                     int(aln.t_end[a]), int(aln.strand[a])]
-               for a in range(len(aln))}
+        cols = _gather_track_cols()
+        r2c = {int(cols["rid"][a]): [int(cols["ctg"][a]),
+                                     int(cols["ts"][a]),
+                                     int(cols["te"][a]),
+                                     int(cols["st"][a])]
+               for a in range(len(cols["rid"]))}
         serialize(st.out("read_to_contig_map.msgpack"), r2c)
-        metrics.log("align", n_aligned=len(aln), n_reads=len(preads))
-        return {"n_aligned": len(aln)}
+        metrics.log("align", n_aligned=len(r2c), n_reads=len(preads))
+        return {"n_aligned": len(r2c)}
 
     align_stage.run(_track)
 
@@ -183,26 +230,43 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
             biallelic_frac=cfg.phase.biallelic_frac,
             max_span=cfg.phase.max_span, min_link=cfg.phase.min_link)
         from ..parallel.sharding import ShardedPhaseOps, make_pipeline_mesh
-        mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par)
+        # contig-owner dataflow: per-contig device programs never cross
+        # hosts, so the mesh is local in multi-host mode
+        mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par,
+                                  local_only=multi)
         phase_ops = ShardedPhaseOps(mesh) if mesh is not None else None
         if mesh is not None:
             logger.info("phasing over mesh %s", dict(mesh.shape))
         aln = get_aln()
+        my_ctgs = (np.nonzero(owners == my_host)[0] if multi
+                   else np.arange(len(contigs)))
         phase_rows = []
-        for ci in range(len(contigs)):
+        for ci in my_ctgs:
+            ci = int(ci)
             ph = phase_contig_device(aln, ci, len(contigs[ci]), ph_cfg,
                                      phase_ops=phase_ops)
-            # later contigs must not overwrite an earlier assignment (a
-            # read maps to one contig; keep the first)
-            fresh = read_ctg[ph.read_ids] < 0
-            read_ctg[ph.read_ids[fresh]] = ci
-            read_block[ph.read_ids[fresh]] = ph.r_block[fresh]
-            read_phase[ph.read_ids[fresh]] = ph.r_phase[fresh]
             phase_rows.append(phased_reads_table(ph))
             metrics.log("phasing", ctg=ci, n_het=len(ph.het_pos),
                         **phase_block_stats(ph.block_id, ph.het_pos))
         phased = np.concatenate(phase_rows) if phase_rows else \
-            np.zeros((0, 4))
+            np.zeros((0, 4), np.int64)
+        if multi:
+            # gather the (small) per-contig tables from every owner and
+            # restore ascending-contig order (stable, so within-contig
+            # row order is each owner's deterministic table order)
+            from ..parallel.distributed import pack_arrays, unpack_arrays
+            parts = [unpack_arrays(b)["t"] for b in
+                     dist.allgather_bytes(pack_arrays({"t": phased}))]
+            phased = np.concatenate(parts)
+            phased = phased[np.argsort(phased[:, 1], kind="stable")]
+        # first-contig-wins read assignment, identical to the sequential
+        # per-contig loop (a read maps to one contig; keep the first)
+        for rid, ctg, blk, phs in phased:
+            rid = int(rid)
+            if read_ctg[rid] < 0:
+                read_ctg[rid] = int(ctg)
+                read_block[rid] = int(blk)
+                read_phase[rid] = int(phs)
         with open(phased_path, "w") as fh:
             for rid, ctg, blk, phs in phased:
                 if blk >= 0:
@@ -231,7 +295,13 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
         resume=cfg.resume, sync=sync)
 
     def _hasm(st: Stage):
-        ovl = _compute_overlaps()
+        # graph construction + haplotig extraction is HOST-0 work in the
+        # contig-owner dataflow (the string graph is global); other hosts
+        # participate in the collective overlap compute, keep nothing,
+        # and wait at the driver barrier
+        ovl = _compute_overlaps(primary_only=True)
+        if multi and not dist.is_primary_host():
+            return {}
         keep = phase_filter_mask(ovl, read_ctg, read_block, read_phase,
                                  OvlpFilterConfig(
                                      min_overlap=cfg.overlap.min_overlap,

