@@ -11,10 +11,18 @@ BASELINE.md).
 Timing methodology: K data-dependent iterations chained inside ONE
 dispatch (defeats loop-invariant hoisting and any runtime result
 caching), scalar-reduced output fetch.  The per-iteration cost is the
-SLOPE between a K-chained and a 2K-chained dispatch (best-of-5 each):
+SLOPE between a K-chained and a 2K-chained dispatch:
 per_iter = (t2K - tK) / K.  This self-calibrates every fixed per-call
 cost (RPC, launch, fetch) as the intercept — reported, not assumed
 (replaces round 1's hardcoded 0.032 s constant).
+
+Stability (VERDICT r2 weak #2: a 54% spread between two committed runs,
+attributed to tunnel congestion): the K and 2K dispatches are timed in
+INTERLEAVED (tK, t2K) pairs — congestion drift hits both arms of a pair
+equally and cancels in the slope — over >= 5 trials; the reported value
+is the MEDIAN per-pair slope and `spread_pct` is the relative
+half-range of the middle 3 slopes (trimmed, so one congested trial
+cannot fake instability).
 
 Roofline: the kernel is pure VPU work (no MXU).  Per band cell it does
 ~40 f32 vector ops + 8 transcendentals (the kernel's own
@@ -50,26 +58,36 @@ def _inputs():
     return qg, trg, n, m, lo, G, Dmax
 
 
-def _wall(fn, args) -> float:
-    """Best wall seconds over warm repeats of one chained dispatch
-    (np.asarray forces real completion — block_until_ready can return
-    early on the remote-TPU relay)."""
+TRIALS = 5
+
+
+def _time_once(fn, args) -> float:
+    """Wall seconds of one chained dispatch (np.asarray forces real
+    completion — block_until_ready can return early on the remote-TPU
+    relay)."""
+    t0 = time.perf_counter()
     v = np.asarray(fn(*args))
-    best = float("inf")
-    for _ in range(5):
-        t0 = time.perf_counter()
-        v = np.asarray(fn(*args))
-        best = min(best, time.perf_counter() - t0)
     assert np.isfinite(v)
-    return best
+    return time.perf_counter() - t0
 
 
 def _slope(make_chained, args):
-    """(per_iter_s, intercept_s) from K- and 2K-chained dispatches."""
-    tK = _wall(make_chained(K), args)
-    t2K = _wall(make_chained(2 * K), args)
-    per_iter = max((t2K - tK) / K, 1e-9)
-    return per_iter, max(tK - K * per_iter, 0.0)
+    """(per_iter_s, intercept_s, spread_pct) from interleaved (K, 2K)
+    dispatch pairs; median slope over TRIALS, trimmed relative spread."""
+    fK, f2K = make_chained(K), make_chained(2 * K)
+    _time_once(fK, args), _time_once(f2K, args)        # compile warmup
+    slopes, icpts = [], []
+    for _ in range(TRIALS):
+        tK = _time_once(fK, args)
+        t2K = _time_once(f2K, args)
+        s = max((t2K - tK) / K, 1e-9)
+        slopes.append(s)
+        icpts.append(max(tK - K * s, 0.0))
+    slopes.sort()
+    mid = slopes[len(slopes) // 2]
+    trim = slopes[1:-1] if len(slopes) >= 3 else slopes
+    spread = 100.0 * (trim[-1] - trim[0]) / (2 * mid)
+    return mid, float(np.median(icpts)), spread
 
 
 def _measure_pallas() -> float:
@@ -97,10 +115,10 @@ def _measure_pallas() -> float:
                                              jnp.zeros((P,), jnp.float32)))
         return chained
 
-    per_iter, icpt = _slope(make_chained, (
+    per_iter, icpt, spread = _slope(make_chained, (
         jnp.asarray(qg32), jnp.asarray(trg32), jnp.asarray(n8),
         jnp.asarray(m8)))
-    return P * (WIN - 12) / per_iter, P * Dmax * W / per_iter, icpt
+    return P * (WIN - 12) / per_iter, P * Dmax * W / per_iter, icpt, spread
 
 
 def _measure_xla() -> float:
@@ -121,22 +139,24 @@ def _measure_xla() -> float:
                                              jnp.zeros((P,), jnp.float32)))
         return chained
 
-    per_iter, icpt = _slope(make_chained, (
+    per_iter, icpt, spread = _slope(make_chained, (
         jnp.asarray(qg), jnp.asarray(trg), jnp.asarray(n), jnp.asarray(m),
         jnp.asarray(lo), jnp.asarray(pv)))
-    return P * (WIN - 12) / per_iter, P * Dmax * W / per_iter, icpt
+    return P * (WIN - 12) / per_iter, P * Dmax * W / per_iter, icpt, spread
 
 
 def main():
+    from falcon_unzip_tpu.utils.compile_cache import enable
+    enable()
     import jax
     on_tpu = any("tpu" in str(d).lower() for d in jax.devices())
-    bases_per_sec, cells_per_sec, dispatch_s = (
+    bases_per_sec, cells_per_sec, dispatch_s, spread = (
         _measure_pallas() if on_tpu else _measure_xla())
 
     # CPU-host baseline: same computation, CPU backend, separate process
     code = (
         "import jax,json;jax.config.update('jax_platforms','cpu');"
-        "import bench;bench.K=3;"
+        "import bench;bench.K=3;bench.TRIALS=3;"
         "print(json.dumps(bench._measure_xla()[0]))"
     )
     try:
@@ -159,6 +179,8 @@ def main():
         "pct_vpu_peak": round(100.0 * cells_per_sec * OPS_PER_CELL
                               / VPU_PEAK_OPS, 1) if on_tpu else None,
         "dispatch_s_intercept": round(dispatch_s, 4),
+        "spread_pct": round(spread, 1),
+        "trials": TRIALS,
     }))
 
 

@@ -9,25 +9,8 @@ already exist → skip task" resume semantics applied to compiled code.
 Opt out with FALCON_UNZIP_TPU_NO_CACHE=1; override the location with
 FALCON_UNZIP_TPU_CACHE_DIR.
 """
-import os as _os
-
 __version__ = "0.1.0"
 
-
-def _enable_compile_cache() -> None:
-    if _os.environ.get("FALCON_UNZIP_TPU_NO_CACHE"):
-        return
-    cache = _os.environ.get(
-        "FALCON_UNZIP_TPU_CACHE_DIR",
-        _os.path.join(_os.path.expanduser("~"), ".cache",
-                      "falcon_unzip_tpu", "xla"))
-    try:
-        import jax
-        _os.makedirs(cache, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", cache)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.2)
-    except Exception:  # pragma: no cover - cache is best-effort
-        pass
-
+from .utils.compile_cache import enable as _enable_compile_cache
 
 _enable_compile_cache()

@@ -31,6 +31,8 @@ logger = logging.getLogger(__name__)
 
 
 def run_quiver(cfg: PipelineConfig) -> dict:
+    from ..utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     if cfg.profile_dir:  # jax.profiler device trace around the whole run
         from ..utils.profiling import device_trace
         with device_trace(cfg.profile_dir):
@@ -94,6 +96,8 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
     def get_aln():
         """Owned-contig AlnSet (multi: records routed to contig owners)."""
         if "a" not in _aln:
+            import time as _time
+            _t0 = _time.perf_counter()
             aligner = ReadToContigAligner(contigs, AlignerConfig(
                 k=cfg.align.k, band=cfg.align.band,
                 window_pad=cfg.align.window_pad,
@@ -113,6 +117,8 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
                      for b in dist.exchange_to_owners(blobs)])
             else:
                 _aln["a"] = aligner.align_batch(reads)
+            metrics.log("align_compute",
+                        s=round(_time.perf_counter() - _t0, 2))
         return _aln["a"]
 
     # ---- stage 1: track reads -> combined reference (rr_hctg_track role)
@@ -184,9 +190,14 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
                             read_pvecs=read_pvecs)
         my = (np.nonzero(owners == my_host)[0] if multi
               else np.arange(len(contigs)))
+        import time as _time
+        aln = get_aln()
+        _t0 = _time.perf_counter()
         local_polished = polisher.polish_all(
-            [(names[int(i)], contigs[int(i)]) for i in my], get_aln(),
+            [(names[int(i)], contigs[int(i)]) for i in my], aln,
             ids=[int(i) for i in my])
+        metrics.log("polish_windows",
+                    s=round(_time.perf_counter() - _t0, 2))
         if multi:
             # gather per-contig pieces to host 0 (canonical emitter)
             from ..parallel.distributed import pack_arrays, unpack_arrays

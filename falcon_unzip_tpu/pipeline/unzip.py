@@ -38,6 +38,8 @@ logger = logging.getLogger(__name__)
 
 
 def run_unzip(cfg: PipelineConfig) -> dict:
+    from ..utils.compile_cache import enable as enable_compile_cache
+    enable_compile_cache()
     if cfg.profile_dir:  # jax.profiler device trace around the whole run
         from ..utils.profiling import device_trace
         with device_trace(cfg.profile_dir):
@@ -153,6 +155,8 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
         """Owned-contig AlnSet: host-sharded alignment, records routed to
         each contig's owner host (multi); the full set on one host."""
         if "a" not in _aln_cache:
+            import time as _time
+            _t0 = _time.perf_counter()
             aligner = ReadToContigAligner(contigs, AlignerConfig(
                 k=cfg.align.k, band=cfg.align.band,
                 window_pad=cfg.align.window_pad,
@@ -175,6 +179,8 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
                      for b in dist.exchange_to_owners(blobs)])
             else:
                 _aln_cache["a"] = aligner.align_batch(preads)
+            metrics.log("align_compute",
+                        s=round(_time.perf_counter() - _t0, 2))
         return _aln_cache["a"]
 
     def _gather_track_cols():
@@ -299,7 +305,10 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
         # contig-owner dataflow (the string graph is global); other hosts
         # participate in the collective overlap compute, keep nothing,
         # and wait at the driver barrier
+        import time as _time
+        _t0 = _time.perf_counter()
         ovl = _compute_overlaps(primary_only=True)
+        metrics.log("hasm_overlaps", s=round(_time.perf_counter() - _t0, 2))
         if multi and not dist.is_primary_host():
             return {}
         keep = phase_filter_mask(ovl, read_ctg, read_block, read_phase,
@@ -330,9 +339,12 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
                           fuzz=cfg.graph.fuzz,
                           reduction_fuzz=cfg.graph.reduction_fuzz,
                           max_bubble_steps=cfg.graph.max_bubble_steps))
+        _t0 = _time.perf_counter()
         res = uz.unzip(ovl, keep)
+        metrics.log("hasm_graph_walk", s=round(_time.perf_counter() - _t0, 2))
 
         # ---- optional haplotig dedup (fc_dedup_h_tigs role)
+        _t0 = _time.perf_counter()
         if cfg.graph.dedup and res.h_ctg:
             from ..models.dedup import dedup_haplotigs
             from ..seq import SeqBatch
@@ -344,12 +356,16 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
             res.h_ctg = [h for i, h in enumerate(res.h_ctg) if i in kept]
             metrics.log("dedup", n_dropped=dropped, n_kept=len(res.h_ctg))
 
+        metrics.log("hasm_dedup", s=round(_time.perf_counter() - _t0, 2))
+
         # ---- haplotig placement by re-alignment (SURVEY.md §3.3 step 3)
         from ..coords import write_m4
         from ..models.unzipper import place_haplotigs
+        _t0 = _time.perf_counter()
         m4 = place_haplotigs(res.p_ctg, res.h_ctg,
                              band=max(512, cfg.align.band))
         write_m4(os.path.join(out, "h_ctg_placements.m4"), m4)
+        metrics.log("hasm_placement", s=round(_time.perf_counter() - _t0, 2))
 
         # ---- graph + overlap intermediates
         # (sg_edges_list / utg_data / ctg_paths / sg.gfa / LA dump)
