@@ -344,7 +344,8 @@ class LongAln:
 
 
 def align_long_queries(aligner: "ReadToContigAligner", batch: SeqBatch,
-                       chunk: int = 4096, max_chunks: int = 8) -> LongAln:
+                       chunk: int = 4096, max_chunks: int = 8,
+                       target_ctg: np.ndarray | None = None) -> LongAln:
     """Place LONG queries (haplotigs, contigs) by chunk sampling.
 
     A whole-contig banded DP with traceback materializes an
@@ -355,6 +356,12 @@ def align_long_queries(aligner: "ReadToContigAligner", batch: SeqBatch,
     bases — every job lands in the standard canonical kernel shape —
     and the per-query interval is the union of its chunk intervals on
     the majority contig (strand from the head chunk).
+
+    target_ctg: optional (len(batch),) required contig id per query —
+    chunk hits on other contigs are dropped instead of voting (the
+    haplotig-placement case: align each h_ctg to its OWN primary, so
+    every query shares ONE aligner/index over all primaries instead of
+    one index build per primary).
     """
     jobs_per_q: list[list[int]] = []
     offs: list[int] = []
@@ -393,9 +400,14 @@ def align_long_queries(aligner: "ReadToContigAligner", batch: SeqBatch,
         hits = [(j, by_chunk[j]) for j in jids if j in by_chunk]
         if not hits:
             continue
-        ctgs = [int(aln.ctg[a]) for _, a in hits]
-        ctg = max(set(ctgs), key=ctgs.count)      # majority contig
+        if target_ctg is not None:
+            ctg = int(target_ctg[qi])
+        else:
+            ctgs = [int(aln.ctg[a]) for _, a in hits]
+            ctg = max(set(ctgs), key=ctgs.count)  # majority contig
         hits = [(j, a) for (j, a) in hits if int(aln.ctg[a]) == ctg]
+        if not hits:
+            continue
         cols["read_id"].append(qi)
         cols["ctg"].append(ctg)
         cols["strand"].append(int(aln.strand[hits[0][1]]))

@@ -210,28 +210,30 @@ class PreadOverlapper:
                     mm[pi] = len(t)
                 pending.append((chunk, n_real,
                                 aligner.dispatch(qa, ta, nn, mm,
-                                                 want_moves=True)))
+                                                 want_moves="summary")))
+        # the moves strings are reduced ON DEVICE to a 7-int summary per
+        # pair (ops.banded_align._summarize_moves) and ALL chunks are
+        # fetched in one concatenated RPC: both the packed-moves payload
+        # and the per-chunk fetch latency were the wall-clock terms here
+        allres = aligner.collect_summaries([h for _, _, h in pending])
+        row0 = 0
         for chunk, n_real, handle in pending:
-                res = aligner.collect(handle)
+                res = {k: v[row0 : row0 + len(chunk)]
+                       for k, v in allres.items()}
+                row0 += len(chunk)
                 for pi, ji in enumerate(chunk[:n_real]):
                     a, b, strand, a_lo, ov, t_lo, t_hi, q, t = jobs[ji]
                     dist = int(res["dist"][pi])
                     if dist >= (1 << 20):
                         continue
-                    moves = res["moves"][pi]
                     end_j = int(res["end_j"][pi])
-                    n_diag = int((moves == 0).sum())
-                    n_left = int((moves == 2).sum())
-                    start_j = end_j - (n_diag + n_left)
+                    start_j = end_j - int(res["n_t"][pi])
                     # trim query insertions hanging off the target's ends
                     # (the q window may overshoot the true overlap): leading
                     # ups advance a_start, trailing ups retract a_end
-                    lead = 0
-                    while lead < len(moves) and moves[lead] == 1:
-                        lead += 1
-                    trail = 0
-                    while trail < len(moves) - lead and moves[-1 - trail] == 1:
-                        trail += 1
+                    lead = int(res["lead"][pi])
+                    trail = max(0, min(int(res["trail"][pi]),
+                                       int(res["n_up"][pi]) - lead))
                     a_s = a_lo + lead
                     a_e = a_lo + ov - trail
                     dist -= lead + trail

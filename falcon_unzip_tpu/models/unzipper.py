@@ -210,42 +210,69 @@ def place_haplotigs(p_ctg, h_ctg: list["Haplotig"], *, band: int = 512,
     """
     from ..seq import SeqBatch
     from ..coords import M4Record
-    from .aligner import AlignerConfig, ReadToContigAligner, \
-        align_long_queries
+    from .aligner import (AlignerConfig, LongAln, ReadToContigAligner,
+                          align_long_queries)
 
-    records = []
-    by_primary: dict[str, list[Haplotig]] = {}
-    for h in h_ctg:
-        by_primary.setdefault(h.primary, []).append(h)
-    for pname, pseq, _rds in p_ctg:
-        hs = [h for h in by_primary.get(pname, ()) if len(h.seq)]
-        if not hs:
+    p_idx = {pname: i for i, (pname, _sq, _r) in enumerate(p_ctg)}
+    p_seqs = [pseq for _nm, pseq, _r in p_ctg]
+    hs = [h for h in h_ctg if len(h.seq) and h.primary in p_idx]
+    if not hs:
+        return []
+    acfg = AlignerConfig(band=band, min_identity=min_identity,
+                         anchor_k=anchor_k,
+                         # haplotigs are long: one placement per chunk,
+                         # generous repeat filter
+                         max_hits=256)
+    # ONE index over all primaries, one chunk-sampled batch for all
+    # haplotigs (per-primary index builds dominated the old wall-clock);
+    # target_ctg pins each haplotig to its OWN primary
+    al = ReadToContigAligner(p_seqs, acfg)
+    batch = SeqBatch.from_strs([h.seq for h in hs])
+    own = np.array([p_idx[h.primary] for h in hs], np.int64)
+    # chunk-sampled: whole-haplotig traceback DP is O(Dmax*PB*W)
+    # device memory and OOMs past ~30kb (see align_long_queries)
+    aln = align_long_queries(al, batch, target_ctg=own)
+    placed = {int(aln.read_id[a]) for a in range(len(aln))}
+    missing = [qi for qi in range(len(hs)) if qi not in placed]
+    if missing:
+        # chunks that seeded best on a FOREIGN primary (homologous
+        # repeat): retry against an index restricted to the own primary
+        # (the pre-r3 per-primary behavior, now only for the rare cases)
+        parts: list[LongAln] = [aln]
+        for qi in missing:
+            sub_al = ReadToContigAligner([p_seqs[int(own[qi])]], acfg)
+            sub = align_long_queries(
+                sub_al, SeqBatch.from_strs([hs[qi].seq]))
+            if len(sub):
+                sub.read_id[:] = qi
+                sub.ctg[:] = own[qi]
+                parts.append(sub)
+        aln = LongAln(**{f.name: np.concatenate(
+            [getattr(p, f.name) for p in parts])
+            for f in dataclasses.fields(LongAln)})
+    ident = aln.identity()
+    rows = []
+    for a in range(len(aln)):
+        if ident[a] < min_identity:
             continue
-        al = ReadToContigAligner([pseq], AlignerConfig(
-            band=band, min_identity=min_identity, anchor_k=anchor_k,
-            # haplotigs are long: one placement, generous repeat filter
-            max_hits=256))
-        batch = SeqBatch.from_strs([h.seq for h in hs])
-        # chunk-sampled: whole-haplotig traceback DP is O(Dmax*PB*W)
-        # device memory and OOMs past ~30kb (see align_long_queries)
-        aln = align_long_queries(al, batch)
-        ident = aln.identity()
-        for a in range(len(aln)):
-            if ident[a] < min_identity:
-                continue
-            h = hs[int(aln.read_id[a])]
-            h.p_start = int(aln.t_start[a])
-            h.p_end = int(aln.t_end[a])
-            records.append(M4Record(
-                q_name=h.name, t_name=pname,
-                score=-int(aln.span[a] - aln.dist[a]),
-                identity=float(100.0 * ident[a]),
-                q_strand=0, q_start=0, q_end=int(aln.q_len[a]),
-                q_len=int(aln.q_len[a]),
-                t_strand=int(aln.strand[a]),
-                t_start=int(aln.t_start[a]), t_end=int(aln.t_end[a]),
-                t_len=len(pseq)))
-    return records
+        qi = int(aln.read_id[a])
+        h = hs[qi]
+        pname = h.primary
+        h.p_start = int(aln.t_start[a])
+        h.p_end = int(aln.t_end[a])
+        rows.append((p_idx[pname], qi, M4Record(
+            q_name=h.name, t_name=pname,
+            score=-int(aln.span[a] - aln.dist[a]),
+            identity=float(100.0 * ident[a]),
+            q_strand=0, q_start=0, q_end=int(aln.q_len[a]),
+            q_len=int(aln.q_len[a]),
+            t_strand=int(aln.strand[a]),
+            t_start=int(aln.t_start[a]), t_end=int(aln.t_end[a]),
+            t_len=len(p_seqs[p_idx[pname]]))))
+    # the pre-r3 per-primary loop emitted records grouped by primary in
+    # p_ctg order; keep that (stable) order for the m4 file
+    rows.sort(key=lambda r: (r[0], r[1]))
+    return [m4 for _p, _q, m4 in rows]
 
 
 class Unzipper:

@@ -228,6 +228,38 @@ def _combine_results(packed, dist, end_i, end_j):
     return jnp.concatenate([packed, tail], axis=1)
 
 
+@jax.jit
+def _summarize_moves(moves_rev, dist, end_i, end_j):
+    """Per-pair alignment summary ON DEVICE — (P, 7) int32.
+
+    The overlapper only needs the matched interval and the up-run trims,
+    not the move string: reducing on device shrinks the per-chunk fetch
+    from ~1 MB of packed moves to 28 B/pair (the tunneled fetch is
+    latency/bandwidth bound — measured 0.14 s/chunk for the packed-moves
+    fetch at the overlap shapes, ~6.5 s of a 16 s overlap pass).
+
+    moves_rev is REVERSE move order with a MOVE_NONE-padded suffix, so:
+    forward-leading up run = the run of MOVE_UP ending the valid prefix;
+    forward-trailing up run = the run of MOVE_UP starting at index 0.
+    Columns: dist, end_j, n_t (diag+left moves), lead, trail, n_up, end_i.
+    """
+    valid = moves_rev != MOVE_NONE
+    is_up = moves_rev == MOVE_UP
+    is_t = (moves_rev == MOVE_DIAG) | (moves_rev == MOVE_LEFT)
+    n_t = jnp.sum(is_t & valid, axis=1)
+    n_up = jnp.sum(is_up & valid, axis=1)
+    # run of UP closing the valid prefix: suffix-AND of (UP or padding)
+    up_or_pad = is_up | ~valid
+    suff = jnp.flip(jnp.cumprod(
+        jnp.flip(up_or_pad, axis=1).astype(jnp.int32), axis=1), axis=1)
+    lead = jnp.sum(suff.astype(bool) & valid, axis=1)
+    trail = jnp.sum(jnp.cumprod(is_up.astype(jnp.int32), axis=1), axis=1)
+    return jnp.stack([dist.astype(jnp.int32), end_j.astype(jnp.int32),
+                      n_t.astype(jnp.int32), lead.astype(jnp.int32),
+                      trail.astype(jnp.int32), n_up.astype(jnp.int32),
+                      end_i.astype(jnp.int32)], axis=1)
+
+
 def unpack_moves2(packed: np.ndarray, S: int) -> np.ndarray:
     """Inverse of pack_moves2 on host: (P, S16/16) int32 -> (P, S) int8."""
     p = np.asarray(packed)
@@ -375,6 +407,16 @@ class BandedAligner:
         P, Lq = q.shape
         Lt = t.shape[1]
         Dmax, lo = build_schedule(Lq, Lt, self.W)
+        # the DP runs Dmax antidiagonals, but cells past d = n + m are
+        # masked-inert padding: truncate to the chunk's true need,
+        # quantized to 1024 so the shape ladder stays sparse (band_lo
+        # depends only on (d, W), so the schedule prefix is unchanged).
+        # Buckets pad Lq ~2x past the content they carry, making this a
+        # ~1.4-1.8x cut of the DP + traceback steps per chunk.
+        need = int(np.max(np.asarray(n) + np.asarray(m))) + 1 if P else Dmax
+        Dmax = min(Dmax, -(-need // 1024) * 1024)
+        lo = lo[:Dmax]
+        steps = Dmax - 1
         if self.use_pallas:
             res = self._pallas_call(q, t, n, m, Lq, Lt, Dmax)
         else:
@@ -383,11 +425,18 @@ class BandedAligner:
                 jnp.asarray(qg), jnp.asarray(trg),
                 jnp.asarray(n), jnp.asarray(m), jnp.asarray(lo),
                 W=self.W, Lt=Lt, G=G, mode=self.mode, want_bp=want_moves)
-        handle = {"res": None, "steps": Lq + Lt, "combined": None}
-        if want_moves:
+        handle = {"res": None, "steps": steps, "combined": None,
+                  "summary": None}
+        if want_moves == "summary":
             moves_rev = traceback_batch(
                 res["bp"], jnp.asarray(lo),
-                res["end_i"], res["end_j"], max_steps=Lq + Lt)
+                res["end_i"], res["end_j"], max_steps=steps)
+            handle["summary"] = _summarize_moves(
+                moves_rev, res["dist"], res["end_i"], res["end_j"])
+        elif want_moves:
+            moves_rev = traceback_batch(
+                res["bp"], jnp.asarray(lo),
+                res["end_i"], res["end_j"], max_steps=steps)
             # ONE device array per chunk: packed moves + the 3 scalar
             # columns. collect() then costs a single relay round trip —
             # fetch LATENCY (not bytes) dominates through the tunnel
@@ -398,8 +447,33 @@ class BandedAligner:
             handle["res"] = {k: v for k, v in res.items() if k != "bp"}
         return handle
 
+    @staticmethod
+    def collect_summaries(handles: list) -> dict:
+        """Materialize MANY summary-mode handles with ONE device fetch.
+
+        Summaries are (P, 7) int32 regardless of bucket shape, so every
+        pending chunk's summary concatenates on device and downloads in
+        a single RPC — per-fetch relay latency (~0.12 s) was the
+        overlap pass's largest term after this op removed the moves
+        payload.  Rows follow handle order; the caller slices by its
+        per-chunk P."""
+        import jax.numpy as jnp
+        parts = [h["summary"] for h in handles]
+        if not parts:
+            return {"dist": np.zeros(0, np.int32)}
+        s = np.asarray(jnp.concatenate(parts, axis=0))
+        return {"dist": s[:, 0], "end_j": s[:, 1], "n_t": s[:, 2],
+                "lead": s[:, 3], "trail": s[:, 4], "n_up": s[:, 5],
+                "end_i": s[:, 6]}
+
     def collect(self, handle) -> dict:
         """Materialize a ``dispatch`` handle as numpy (blocks)."""
+        if handle["summary"] is not None:
+            s = np.asarray(handle["summary"])
+            return {"dist": s[:, 0].copy(), "end_j": s[:, 1].copy(),
+                    "n_t": s[:, 2].copy(), "lead": s[:, 3].copy(),
+                    "trail": s[:, 4].copy(), "n_up": s[:, 5].copy(),
+                    "end_i": s[:, 6].copy()}
         if handle["combined"] is not None:
             c = np.asarray(handle["combined"])
             out = {"dist": c[:, -3].copy(), "end_i": c[:, -2].copy(),
@@ -431,7 +505,7 @@ class BandedAligner:
                                                        pad)])
             m = np.concatenate([np.asarray(m), np.tile(np.asarray(m)[-1:],
                                                        pad)])
-        PALLAS_SHAPES.add(("edit", self.W, Lq, Lt, q.shape[0], PB,
+        PALLAS_SHAPES.add(("edit", self.W, Lq, Lt, Dmax, q.shape[0], PB,
                            self.mode))
         qg, trg, G = prepare_batch(q, t, self.W)
         # stay int8 on the host: the device widens to int32 inside the
