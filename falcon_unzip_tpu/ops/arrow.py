@@ -295,9 +295,12 @@ class ArrowSplicer:
                 cc = list(cc)[:C]
                 cand[i, :len(cc)] = cc
         Lq, LJ = self._shapes(qs, ts)
-        ll_cur = np.zeros(N, np.float32)
-        ll_mut = np.full((N, C, 9), NEG, np.float32)
         chunk = self._pick_chunk(N)
+        # two-phase async (see models.aligner): dispatch EVERY chunk's
+        # program first, then fetch all results in two concatenated
+        # RPCs — a refinement round used to pay one blocking device
+        # round trip per chunk
+        pend = []
         for lo in range(0, N, chunk):
             hi = min(N, lo + chunk)
             P = chunk                        # fixed: one compile per bucket
@@ -316,7 +319,11 @@ class ArrowSplicer:
             ca[:hi - lo] = cand[lo:hi]
             if pvecs is not None:
                 pv[:hi - lo] = pvecs[lo:hi]
-            cur, mut = self._dispatch(qa, ta, nn, mm, ca, pv, Lq, LJ)
-            ll_cur[lo:hi] = np.asarray(cur)[:hi - lo]
-            ll_mut[lo:hi] = np.asarray(mut)[:hi - lo]
-        return ll_cur, ll_mut
+            pend.append(self._dispatch(qa, ta, nn, mm, ca, pv, Lq, LJ))
+        if len(pend) == 1:
+            cur_all = np.asarray(pend[0][0])
+            mut_all = np.asarray(pend[0][1])
+        else:
+            cur_all = np.asarray(jnp.concatenate([c for c, _ in pend]))
+            mut_all = np.asarray(jnp.concatenate([m for _, m in pend]))
+        return cur_all[:N].copy(), mut_all[:N].copy()
