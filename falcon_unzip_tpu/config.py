@@ -56,6 +56,9 @@ class OverlapCfg:
     max_cov: int = 300           # repeat suppression
     min_cov: int = 1             # chimera suppression
     bestn: int = 10              # longest-n overlaps per (read, end)
+    prefetch: bool = True        # compute overlaps on the dataflow engine
+                                 # concurrently with align+phasing
+                                 # (single-host; hasm joins the handle)
 
 
 @dataclasses.dataclass
@@ -77,6 +80,8 @@ class PolishCfg:
                                  # (queue chunk size; full queue cycles)
     arrow_min_cov: int = 5       # full-span reads gating mutation testing
     margin_frac: float = 0.7
+    het_skip_frac: float = 0.35  # balanced-biallelic column gate
+                                 # (models.polisher.PolisherConfig)
     hmm_band: int = 48
     score_batch: int = 8192      # legacy re-forward pairs per dispatch
     splice_chunk: int = 512      # (read, window) pairs per splice dispatch
@@ -86,6 +91,11 @@ class PolishCfg:
                                  # emission/transition params scaled to
                                  # their mean QV (oracle.hmm.
                                  # params_for_read_qv)
+    phase_aware: bool = True     # phase raw reads against each primary
+                                 # and drop the phase group opposing the
+                                 # template's alleles per block (the
+                                 # rr_hctg_track phased-partition role;
+                                 # fixes mixed-phase het-site polish)
 
 
 @dataclasses.dataclass

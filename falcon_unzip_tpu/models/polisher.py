@@ -48,6 +48,14 @@ class PolisherConfig:
                                  # read errors can outvote the truth —
                                  # GenomicConsensus gates arrow the same way)
     margin_frac: float = 0.7     # vote winner fraction below which to test
+    het_skip_frac: float = 0.35  # balanced-biallelic gate: a column whose
+                                 # SECOND delta-0 allele carries >= this
+                                 # fraction of coverage is a het site
+                                 # whose opposite-phase reads survived
+                                 # routing, not a consensus error — keep
+                                 # the template's (block-consistent)
+                                 # allele instead of letting Arrow coin-
+                                 # flip it (0 disables)
     hmm_band: int = 48
     use_pallas: bool | None = None   # None = auto (TPU + aligned band)
     score_batch: int = 8192          # max (variant, read) pairs per dispatch
@@ -185,6 +193,24 @@ class Polisher:
     def _vote_consensus(self, votes, template_win):
         cns, cov, cns_of_t = consensus_with_map(votes, template_win,
                                                 min_cov=self.cfg.min_cov)
+        cfg = self.cfg
+        if cfg.het_skip_frac > 0 and len(cns):
+            # balanced-biallelic columns are residual het mixtures
+            # (phase-routing misses), not consensus errors: a plurality
+            # vote there is a coin flip between haplotypes, so restore
+            # the template's (block-consistent) allele when it is one
+            # of the two top alleles
+            d0 = votes[:, 0, :]
+            tot = d0.sum(axis=1)
+            second = np.sort(d0, axis=1)[:, -2]
+            hetlike = np.nonzero((tot >= cfg.min_cov)
+                                 & (second >= cfg.het_skip_frac * tot))[0]
+            for t in hetlike:
+                tb = int(template_win[t])
+                c = int(cns_of_t[t])
+                if 0 <= c < len(cns) and 0 <= tb < 4 \
+                        and d0[t, tb] >= second[t]:
+                    cns[c] = tb
         return cns, cov, cns_of_t
 
     def _candidates(self, cns: np.ndarray, votes: np.ndarray,
@@ -201,6 +227,12 @@ class Polisher:
         tot = d0.sum(axis=1)
         win = d0.max(axis=1)
         low = (tot >= cfg.min_cov) & (win < cfg.margin_frac * tot)
+        if cfg.het_skip_frac > 0:
+            # balanced biallelic column = residual het mixture (phase
+            # routing miss), not an error; suppress mutation testing so
+            # the template's block-consistent allele survives
+            second = np.sort(d0, axis=1)[:, -2]
+            low &= second < cfg.het_skip_frac * tot
         pos = np.nonzero(low)[0]
         order = np.argsort((win / np.maximum(tot, 1))[pos], kind="stable")
         out: list[int] = []

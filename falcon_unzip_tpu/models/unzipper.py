@@ -192,6 +192,15 @@ class UnzipConfig:
     max_bubble_steps: int = 64
     drop_chimers: bool = True    # graph-level chimer read removal
     convergence_depth: int = 3   # BFS levels past arm ends when joining
+    assoc_frac: float = 0.6      # demote a walk to associated haplotig
+                                 # when >= this fraction of its phase
+                                 # blocks OPPOSE an existing primary's
+                                 # claim ([U] graphs_to_h_tigs_2 emits
+                                 # such paths as a_ctg-derived h_ctg;
+                                 # majority-with-margin — 0.5 would
+                                 # demote on a coin flip, 1.0 only on
+                                 # total opposition; adversarial tests
+                                 # cover both regimes)
 
 
 def place_haplotigs(p_ctg, h_ctg: list["Haplotig"], *, band: int = 512,
@@ -477,8 +486,15 @@ class Unzipper:
                   for k, v in votes.items()}
             opp = [k for k, p in bp.items()
                    if k in claimed and claimed[k][0] != p]
-            if bp and len(opp) >= 0.6 * len(bp):
-                owner = claimed[opp[0]][1]
+            if bp and len(opp) >= self.cfg.assoc_frac * len(bp):
+                # owner = the primary claiming the MOST opposed blocks
+                # (ties -> the longer primary, processed earlier): a walk
+                # opposing several primaries now has a deterministic,
+                # evidence-weighted owner instead of dict-order first
+                cnt: dict[int, int] = {}
+                for k in opp:
+                    cnt[claimed[k][1]] = cnt.get(claimed[k][1], 0) + 1
+                owner = min(cnt, key=lambda pi: (-cnt[pi], pi))
                 pname = name_of[owner]
                 p_start, p_end = self._read_span(rds)
                 extra_h.append(Haplotig(

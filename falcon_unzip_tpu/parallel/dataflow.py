@@ -129,3 +129,40 @@ class Pipeline:
         while not out_q.empty():
             results.append(out_q.get())
         return results
+
+
+class Prefetch:
+    """Background evaluation of one callable on the dataflow engine.
+
+    The pypeFLOW role this fills: a DAG node whose inputs are already
+    satisfied runs concurrently with the rest of the flow (SURVEY.md §2c
+    dataflow row) — e.g. the hasm overlap compute depends only on the
+    preads, so the unzip driver starts it here while stages 1-2
+    (align + phasing) run, and hasm joins via ``get()``.  Runs through
+    Pipeline, so stage heartbeat/retry semantics apply.
+    """
+
+    def __init__(self, name: str, fn: Callable[[], Any],
+                 max_retries: int = 0):
+        self._pipe = Pipeline([StageSpec(name=name,
+                                         fn=lambda _x: (fn(),),
+                                         max_retries=max_retries)])
+        self._result: Any = None
+        self._exc: Exception | None = None
+        self._thread = threading.Thread(target=self._run, daemon=True,
+                                        name=f"prefetch-{name}")
+        self._thread.start()
+
+    def _run(self):
+        try:
+            out = self._pipe.run([None])
+            self._result = out[0][0] if out else None
+        except Exception as exc:  # noqa: BLE001 - surfaced in get()
+            self._exc = exc
+
+    def get(self):
+        """Join the background work; re-raises its failure."""
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+        return self._result

@@ -160,6 +160,7 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
             arrow_candidates=cfg.polish.arrow_candidates,
             arrow_min_cov=cfg.polish.arrow_min_cov,
             margin_frac=cfg.polish.margin_frac,
+            het_skip_frac=cfg.polish.het_skip_frac,
             hmm_band=cfg.polish.hmm_band,
             score_batch=cfg.polish.score_batch,
             splice_chunk=cfg.polish.splice_chunk,
@@ -192,6 +193,32 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
               else np.arange(len(contigs)))
         import time as _time
         aln = get_aln()
+        if cfg.polish.phase_aware:
+            # phase-aware read routing (the [U] rr_hctg_track role done
+            # at the pileup level): primaries are pseudo-haplotypes, so
+            # where no haplotig exists both haplotypes' reads map onto
+            # the primary and split the het-site votes ~50/50 — Arrow
+            # then picks per-column winners inconsistently (measured:
+            # nearly all residual 1 Mb consensus errors were clustered
+            # het-site substitutions).  Phasing the RAW reads against
+            # each owned primary and dropping the phase group that
+            # disagrees with the template's own alleles makes each
+            # phase block polish to ONE consistent haplotype.
+            _t0 = _time.perf_counter()
+            mesh_po = None
+            from ..parallel.sharding import ShardedPhaseOps
+            if mesh is not None:
+                mesh_po = ShardedPhaseOps(mesh)
+            keep = _phase_route_mask(
+                aln, [int(i) for i in my if int(i) < n_primary],
+                [len(contigs[int(i)]) for i in my if int(i) < n_primary],
+                [contigs[int(i)] for i in my if int(i) < n_primary],
+                cfg, phase_ops=mesh_po)
+            n_drop = int((~keep).sum())
+            metrics.log("polish_phase_route", n_dropped=n_drop,
+                        s=round(_time.perf_counter() - _t0, 2))
+            if n_drop:
+                aln = aln.subset(keep)
         _t0 = _time.perf_counter()
         local_polished = polisher.polish_all(
             [(names[int(i)], contigs[int(i)]) for i in my], aln,
@@ -238,6 +265,54 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
     if multi:
         dist.barrier("quiver-done")
     return {**stats, "out_dir": out}
+
+
+def _phase_route_mask(aln, ctg_ids: list[int], t_lens: list[int],
+                      templates: list, cfg: PipelineConfig,
+                      phase_ops=None) -> "np.ndarray":
+    """Per-record keep mask dropping reads whose phase OPPOSES the
+    template's own haplotype in their phase block.
+
+    Role parity: [U] fc_rr_hctg_track + fc_get_read_hctg_map partition
+    raw reads by phase before quiver maps them ([U] SURVEY.md §3.4 step
+    1) — here the partition is derived by phasing the raw reads against
+    the polish template itself (pileup → het call → association →
+    blocks → per-read vote, models.phaser), then keeping, per block,
+    the phase group whose alleles AGREE with the template (plus all
+    unphased reads).  Windows with no het sites or no blocks keep
+    everything."""
+    from ..models.phaser import phase_contig_device
+    from ..oracle.phasing import PhasingConfig
+    keep = np.ones(len(aln), bool)
+    ph_cfg = PhasingConfig(
+        min_depth=cfg.phase.min_depth,
+        min_allele_count=cfg.phase.min_allele_count,
+        allele_freq_min=cfg.phase.allele_freq_min,
+        biallelic_frac=cfg.phase.biallelic_frac,
+        max_span=cfg.phase.max_span, min_link=cfg.phase.min_link)
+    for ci, t_len, tpl in zip(ctg_ids, t_lens, templates):
+        ph = phase_contig_device(aln, ci, t_len, ph_cfg,
+                                 phase_ops=phase_ops)
+        S = len(ph.het_pos)
+        n_blocks = int(ph.block_id.max()) + 1 if S else 0
+        if n_blocks <= 0:
+            continue
+        # hap0 allele per site under the block orientation convention
+        hap0 = np.where(ph.orient == 0, ph.b1, ph.b2)
+        hap1 = np.where(ph.orient == 0, ph.b2, ph.b1)
+        tb = np.asarray(tpl)[ph.het_pos]
+        # per block: which phase's alleles match the template
+        agree = np.zeros((n_blocks, 2), np.int64)
+        sel = ph.block_id >= 0
+        np.add.at(agree[:, 0], ph.block_id[sel], (tb == hap0)[sel])
+        np.add.at(agree[:, 1], ph.block_id[sel], (tb == hap1)[sel])
+        tpl_phase = (agree[:, 1] > agree[:, 0]).astype(np.int8)
+        rec_idx = np.nonzero(aln.ctg == ci)[0]
+        phased = ph.r_block >= 0
+        bad = phased & (ph.r_phase != tpl_phase[
+            np.clip(ph.r_block, 0, n_blocks - 1)])
+        keep[rec_idx[bad]] = False
+    return keep
 
 
 def _emit(out_dir: str, stem: str, contigs) -> None:

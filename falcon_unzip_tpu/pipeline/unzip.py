@@ -199,6 +199,26 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
         order = np.argsort(merged["rid"], kind="stable")
         return {k: v[order] for k, v in merged.items()}
 
+    # ---- overlap prefetch (dataflow engine, SURVEY.md §2c dataflow
+    # row): the hasm overlap compute depends only on the preads, so in
+    # single-host mode it runs CONCURRENTLY with stages 1-2 — the
+    # overlap candidate chaining (host numpy) fills the gaps where the
+    # driver waits on alignment/phasing device programs.  Multi-host
+    # keeps it synchronous: the compute issues collectives, and two
+    # collective streams must not interleave differently across hosts.
+    phased_path = os.path.join(out, "all_phased_reads")
+    hasm_probe = Stage(out, "3-hasm", inputs=[cfg.preads, phased_path],
+                       outputs=["../all_p_ctg.fa"], resume=cfg.resume)
+    phasing_probe = Stage(
+        out, "2-phasing",
+        inputs=[cfg.preads, draft_stage.out("draft_p_ctg.fa")],
+        outputs=["../all_phased_reads"], resume=cfg.resume)
+    ovl_prefetch = None
+    if (not multi and cfg.overlap.prefetch
+            and not (hasm_probe.is_done() and phasing_probe.is_done())):
+        from ..parallel.dataflow import Prefetch
+        ovl_prefetch = Prefetch("overlap-compute", _compute_overlaps)
+
     align_stage = Stage(out, "1-align",
                         inputs=[cfg.preads, draft_stage.out("draft_p_ctg.fa")],
                         outputs=["read_to_contig_map.msgpack"],
@@ -222,7 +242,6 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
     read_ctg = np.full(n_reads, -1, np.int64)
     read_block = np.full(n_reads, -1, np.int64)
     read_phase = np.full(n_reads, -1, np.int8)
-    phased_path = os.path.join(out, "all_phased_reads")
     phasing_stage = Stage(
         out, "2-phasing",
         inputs=[cfg.preads, draft_stage.out("draft_p_ctg.fa")],
@@ -307,6 +326,13 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
         # and wait at the driver barrier
         import time as _time
         _t0 = _time.perf_counter()
+        if ovl_prefetch is not None:
+            try:
+                ovl_prefetch.get()      # join the dataflow handle
+            except Exception as exc:    # fall back to inline compute
+                logger.warning("overlap prefetch failed (%s); "
+                               "recomputing inline", exc)
+                overlaps_holder.pop("ovl", None)
         ovl = _compute_overlaps(primary_only=True)
         metrics.log("hasm_overlaps", s=round(_time.perf_counter() - _t0, 2))
         if multi and not dist.is_primary_host():

@@ -34,19 +34,53 @@ def _truth_qv(cns_path: str, haps: list, chunk: int = 500) -> float | None:
 
     batch = read_fasta(cns_path)
     if not len(batch):
-        return None
+        return None, None
     hap_strs = [decode(h) for h in haps]
     qvs: list[float] = []
     al = None
+    # error attribution (VERDICT r2 weak #5): how much of the residual
+    # edit distance sits in haplotype-SWITCH chunks (legitimate mosaic
+    # junctions of a FALCON pseudo-haplotype primary) vs interior base
+    # errors vs unalignable sequence
+    bd = {"n_chunks": 0, "n_exact": 0, "n_switch": 0, "n_interior": 0,
+          "n_unaligned": 0, "err_switch": 0.0, "err_interior": 0.0,
+          "err_unaligned": 0.0}
+
+    def _chunk_kind(p: str) -> str:
+        probe = min(150, max(50, len(p) // 3))
+        head = {h for h, hs in enumerate(hap_strs) if p[:probe] in hs}
+        tail = {h for h, hs in enumerate(hap_strs) if p[-probe:] in hs}
+        if head and tail and not (head & tail):
+            return "switch"
+        return "interior"
+
+    rc_tr = str.maketrans("ACGT", "TGCA")
+
     for i in range(len(batch)):
         s = batch.to_str(i)
+        # orientation: graph walks legitimately emit reverse-complement
+        # contigs; score whichever orientation matches the truth (probe
+        # three interior chunks, majority wins)
+        s_r = s.translate(rc_tr)[::-1]
+        probes = [s[o : o + chunk] for o in
+                  (0, max(0, len(s) // 2), max(0, len(s) - chunk))]
+        n_f = sum(any(p in h for h in hap_strs) for p in probes if p)
+        probes_r = [s_r[o : o + chunk] for o in
+                    (0, max(0, len(s) // 2), max(0, len(s) - chunk))]
+        n_r = sum(any(p in h for h in hap_strs) for p in probes_r if p)
+        if n_r > n_f:
+            s = s_r
         if any(s in h for h in hap_strs):
             qvs.append(60.0)
+            bd["n_chunks"] += max(1, len(s) // chunk)
+            bd["n_exact"] += max(1, len(s) // chunk)
             continue
         pieces = [s[o : o + chunk] for o in range(0, len(s), chunk)]
         pieces = [p for p in pieces if len(p) >= 50]
         resid_idx = [k for k, p in enumerate(pieces)
                      if not any(p in h for h in hap_strs)]
+        bd["n_chunks"] += len(pieces)
+        bd["n_exact"] += len(pieces) - len(resid_idx)
         err = 0.0
         if resid_idx:
             if al is None:
@@ -58,11 +92,19 @@ def _truth_qv(cns_path: str, haps: list, chunk: int = 500) -> float | None:
                 best[int(res.read_id[a])] = min(
                     best[int(res.read_id[a])], float(res.dist[a]))
             for r in range(len(sub)):
-                # unalignable chunk counts fully wrong
-                err += best[r] if np.isfinite(best[r]) else len(sub.row(r))
+                if np.isfinite(best[r]):
+                    err += best[r]
+                    kind = _chunk_kind(pieces[resid_idx[r]])
+                    bd[f"n_{kind}"] += 1
+                    bd[f"err_{kind}"] += best[r]
+                else:
+                    # unalignable chunk counts fully wrong
+                    err += len(sub.row(r))
+                    bd["n_unaligned"] += 1
+                    bd["err_unaligned"] += len(sub.row(r))
         rate = err / max(len(s), 1)
         qvs.append(float(min(60.0, -10.0 * np.log10(max(rate, 1e-6)))))
-    return round(float(np.mean(qvs)), 1)
+    return round(float(np.mean(qvs)), 1), bd
 
 
 def main():
@@ -116,8 +158,8 @@ def main():
 
     from falcon_unzip_tpu.ops.banded_align import PALLAS_SHAPES
     total = unzip_s + polish_s
-    qv_p = _truth_qv(f"{d}/out/4-polish/cns_p_ctg.fasta", true_haps)
-    qv_h = _truth_qv(f"{d}/out/4-polish/cns_h_ctg.fasta", true_haps)
+    qv_p, bd_p = _truth_qv(f"{d}/out/4-polish/cns_p_ctg.fasta", true_haps)
+    qv_h, bd_h = _truth_qv(f"{d}/out/4-polish/cns_h_ctg.fasta", true_haps)
     print(json.dumps({
         "metric": "e2e_unzip_polish_wall_s",
         "genome_bp": genome_bp,
@@ -132,6 +174,7 @@ def main():
         "p_ctg": u["p_ctg"], "h_ctg": u["h_ctg"],
         "mean_qv": q.get("mean_qv"),
         "truth_qv_p": qv_p, "truth_qv_h": qv_h,
+        "qv_breakdown_p": bd_p, "qv_breakdown_h": bd_h,
         # each distinct Pallas shape = one serialized remote Mosaic
         # compile; keep this SMALL (see models.aligner bucket notes)
         "n_pallas_shapes": len(PALLAS_SHAPES),

@@ -171,3 +171,66 @@ def test_margin_qv_overrides():
     assert tested, "no window recorded margin QVs"
     for st in tested:
         assert all(2 <= v <= 60 for v in st.qv_val)
+
+
+def test_het_skip_gate_keeps_template_allele():
+    """A balanced biallelic column (residual het mixture) must NOT be
+    mutation-tested: the template's block-consistent allele survives.
+    An unbalanced error column at the same coverage still gets fixed."""
+    from falcon_unzip_tpu.seq import SeqBatch
+
+    truth = random_genome(3000, 91)
+    draft = truth.copy()
+    err_p = 700
+    draft[err_p] = (draft[err_p] + 1) % 4          # a real error
+    het_p = 1500
+    alt = truth.copy()
+    alt[het_p] = (alt[het_p] + 2) % 4              # the other haplotype
+    rng = np.random.default_rng(92)
+    reads = []
+    for i in range(30):
+        src = truth if i % 2 == 0 else alt         # 50/50 het mixture
+        reads.append(mutate_read(src, 0.02, rng))
+    batch = SeqBatch.from_strs(reads, names=[f"r{i}" for i in range(30)])
+    aln = ReadToContigAligner([draft]).align_batch(batch)
+
+    pol = Polisher(PolisherConfig(window=512, arrow_rounds=8,
+                                  het_skip_frac=0.35))
+    out = pol.polish_contig("c", draft, aln, 0)
+    assert out.seq[err_p] == truth[err_p], "real error must be fixed"
+    # at the het site the template's allele (truth[het_p], since draft
+    # carries it) must survive the 50/50 vote split
+    assert out.seq[het_p] == draft[het_p], \
+        "balanced het column must keep the template allele"
+
+
+def test_phase_route_mask_drops_opposite_reads():
+    """Reads phased OPPOSITE to the template's own alleles are dropped;
+    same-phase and unphased reads are kept (quiver rr_hctg_track role)."""
+    from falcon_unzip_tpu.pipeline.quiver import _phase_route_mask
+    from falcon_unzip_tpu.config import PipelineConfig
+    from falcon_unzip_tpu.seq import SeqBatch
+
+    dip = make_diploid(length=9000, het_rate=0.02, seed=95,
+                       het_span=(0.1, 0.9))
+    rng = np.random.default_rng(96)
+    reads, srcs = [], []
+    for i in range(60):
+        src = i % 2
+        g = dip.hap0 if src == 0 else dip.hap1
+        s = rng.integers(0, 5000)
+        reads.append(mutate_read(g[s : s + 4000], 0.02, rng))
+        srcs.append(src)
+    batch = SeqBatch.from_strs(reads,
+                               names=[f"r{i}" for i in range(60)])
+    aln = ReadToContigAligner([dip.hap0]).align_batch(batch)
+    cfg = PipelineConfig(preads="x", out_dir="/tmp/x")
+    keep = _phase_route_mask(aln, [0], [len(dip.hap0)], [dip.hap0], cfg)
+    # template IS hap0: every dropped record must be a hap1 read, and a
+    # decent share of hap1 reads must actually be dropped
+    dropped_srcs = {srcs[int(aln.read_id[a])]
+                    for a in np.nonzero(~keep)[0]}
+    assert dropped_srcs <= {1}
+    n_h1 = sum(1 for a in range(len(aln))
+               if srcs[int(aln.read_id[a])] == 1)
+    assert (~keep).sum() >= 0.5 * n_h1
