@@ -396,12 +396,17 @@ class Polisher:
                 pv = np.stack([p if p is not None else default
                                for p in pvecs])
             ll_cur, ll_mut = self._splicer(qs, ts, cands, pvecs=pv)
+            # pair_w is built in ascending-window order, so each window's
+            # pairs are one CONTIGUOUS slice: searchsorted bounds replace
+            # the per-window boolean scan (which was O(windows x pairs) —
+            # quadratic at 10 Mb scale) with identical float semantics
+            # (same values, same order, same pairwise reduction)
             pair_w_a = np.asarray(pair_w)
             for k, cols in win_cols.items():
                 st = states[k]
-                sel = pair_w_a == k
-                tot_cur = float(ll_cur[sel].sum())
-                tot_mut = ll_mut[sel].sum(axis=0)          # (C, 9)
+                lo_p, hi_p = np.searchsorted(pair_w_a, (k, k + 1))
+                tot_cur = float(ll_cur[lo_p:hi_p].sum())
+                tot_mut = ll_mut[lo_p:hi_p].sum(axis=0)    # (C, 9)
                 best = None                                # (ll, ci, v)
                 for ci, p in enumerate(cols):
                     cur_base = int(st.cns[p])
