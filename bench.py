@@ -90,7 +90,8 @@ def _slope(make_chained, args):
     return mid, float(np.median(icpts)), spread
 
 
-def _measure_pallas() -> float:
+def _measure_pallas():
+    """Returns (bases/s, cells/s, dispatch intercept s, spread %)."""
     import jax
     import jax.numpy as jnp
     from falcon_unzip_tpu.ops.pallas_pairhmm import _pallas_forward
@@ -121,7 +122,8 @@ def _measure_pallas() -> float:
     return P * (WIN - 12) / per_iter, P * Dmax * W / per_iter, icpt, spread
 
 
-def _measure_xla() -> float:
+def _measure_xla():
+    """Returns (bases/s, cells/s, dispatch intercept s, spread %)."""
     import jax
     import jax.numpy as jnp
     from falcon_unzip_tpu.ops.pairhmm import forward_core, params_vector

@@ -56,6 +56,12 @@ class PolisherConfig:
                                  # the template's (block-consistent)
                                  # allele instead of letting Arrow coin-
                                  # flip it (0 disables)
+    het_min_count: int = 3       # absolute floor on the second allele's
+                                 # count before a column classifies as
+                                 # het-like: at minimum coverage a 3/2
+                                 # error split would otherwise pass the
+                                 # fraction gate and mask a real error
+                                 # from mutation testing
     hmm_band: int = 48
     use_pallas: bool | None = None   # None = auto (TPU + aligned band)
     score_batch: int = 8192          # max (variant, read) pairs per dispatch
@@ -204,13 +210,42 @@ class Polisher:
             tot = d0.sum(axis=1)
             second = np.sort(d0, axis=1)[:, -2]
             hetlike = np.nonzero((tot >= cfg.min_cov)
+                                 & (second >= cfg.het_min_count)
                                  & (second >= cfg.het_skip_frac * tot))[0]
+            ins_pos: list[int] = []
+            ins_base: list[int] = []
+            ins_t: list[int] = []
             for t in hetlike:
                 tb = int(template_win[t])
                 c = int(cns_of_t[t])
-                if 0 <= c < len(cns) and 0 <= tb < 4 \
-                        and d0[t, tb] >= second[t]:
-                    cns[c] = tb
+                if not (0 <= tb < 4 and d0[t, tb] >= second[t]):
+                    continue
+                if int(np.argmax(d0[t])) != 4:     # delta-0 winner emitted
+                    if 0 <= c < len(cns):
+                        cns[c] = tb
+                elif 0 <= c <= len(cns):
+                    # deletion won the balanced column: nothing was
+                    # emitted at delta 0, and cns_of_t[t] is the junction
+                    # of the NEXT emitted cell — overwriting cns[c] would
+                    # corrupt the adjacent base, so restore the template
+                    # allele by insertion at the junction instead
+                    ins_pos.append(c)
+                    ins_base.append(tb)
+                    ins_t.append(int(t))
+            if ins_pos:
+                # hetlike ascends, so ins_pos (a cumulative count) is
+                # already non-decreasing; insert k lands at ins_pos[k]+k
+                ins_arr = np.asarray(ins_pos)
+                cns = np.insert(cns, ins_arr,
+                                np.asarray(ins_base, cns.dtype))
+                # shift the coordinate map past the inserted bases so
+                # downstream candidate mapping stays exact; each restored
+                # column then points at its own inserted base
+                cns_of_t = cns_of_t + np.searchsorted(
+                    ins_arr, cns_of_t, side="right").astype(
+                        cns_of_t.dtype)
+                for k, t in enumerate(ins_t):
+                    cns_of_t[t] = ins_arr[k] + k
         return cns, cov, cns_of_t
 
     def _candidates(self, cns: np.ndarray, votes: np.ndarray,
@@ -230,9 +265,12 @@ class Polisher:
         if cfg.het_skip_frac > 0:
             # balanced biallelic column = residual het mixture (phase
             # routing miss), not an error; suppress mutation testing so
-            # the template's block-consistent allele survives
+            # the template's block-consistent allele survives (only
+            # above the absolute het_min_count floor — at minimum
+            # coverage a 3/2 error split is noise, not a het site)
             second = np.sort(d0, axis=1)[:, -2]
-            low &= second < cfg.het_skip_frac * tot
+            low &= ~((second >= cfg.het_min_count)
+                     & (second >= cfg.het_skip_frac * tot))
         pos = np.nonzero(low)[0]
         order = np.argsort((win / np.maximum(tot, 1))[pos], kind="stable")
         out: list[int] = []

@@ -207,8 +207,14 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
     # keeps it synchronous: the compute issues collectives, and two
     # collective streams must not interleave differently across hosts.
     phased_path = os.path.join(out, "all_phased_reads")
+    # the probe must declare the SAME outputs as the real 3-hasm stage,
+    # or it can report done while the real stage will rerun (and the
+    # prefetch would be skipped) — ADVICE r3
+    hasm_outputs = ["../all_p_ctg.fa", "../all_h_ctg.fa",
+                    "../all_h_ctg_ids", "../h_ctg_placements.json",
+                    "../h_ctg_placements.m4", "../preads.ovl"]
     hasm_probe = Stage(out, "3-hasm", inputs=[cfg.preads, phased_path],
-                       outputs=["../all_p_ctg.fa"], resume=cfg.resume)
+                       outputs=hasm_outputs, resume=cfg.resume)
     phasing_probe = Stage(
         out, "2-phasing",
         inputs=[cfg.preads, draft_stage.out("draft_p_ctg.fa")],
@@ -314,10 +320,7 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
     # ---- stage 3: hasm — phase-filtered overlaps + graph + haplotigs
     hasm_stage = Stage(
         out, "3-hasm", inputs=[cfg.preads, phased_path],
-        outputs=["../all_p_ctg.fa", "../all_h_ctg.fa", "../all_h_ctg_ids",
-                 "../h_ctg_placements.json", "../h_ctg_placements.m4",
-                 "../preads.ovl"],
-        resume=cfg.resume, sync=sync)
+        outputs=hasm_outputs, resume=cfg.resume, sync=sync)
 
     def _hasm(st: Stage):
         # graph construction + haplotig extraction is HOST-0 work in the

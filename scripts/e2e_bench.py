@@ -16,7 +16,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _truth_qv(cns_path: str, haps: list, chunk: int = 500) -> float | None:
+def _truth_qv(cns_path: str, haps: list, chunk: int = 500):
     """Mean phred QV of polished contigs vs the SIMULATED TRUTH
     (north-star metric 3), mosaic-aware: FALCON primaries are
     pseudo-haplotypes that legitimately SWITCH haplotype between phase

@@ -234,3 +234,46 @@ def test_phase_route_mask_drops_opposite_reads():
     n_h1 = sum(1 for a in range(len(aln))
                if srcs[int(aln.read_id[a])] == 1)
     assert (~keep).sum() >= 0.5 * n_h1
+
+
+def test_het_gate_deletion_won_column_restores_not_corrupts():
+    """ADVICE r3 (high): when the GAP vote wins a balanced het column,
+    the gate must restore the template allele at the junction — NOT
+    overwrite the next emitted base (cns_of_t points at the following
+    cell when nothing was emitted at delta 0)."""
+    template = np.array([0, 1, 2, 3, 0], np.int8)
+    votes = np.zeros((5, 2, 5), np.int32)
+    for t in range(5):
+        votes[t, 0, template[t]] = 20
+    # pos 2: deletion wins (11 gap vs 9 template base) — balanced het-del
+    votes[2, 0, :] = 0
+    votes[2, 0, 4] = 11
+    votes[2, 0, 2] = 9
+    pol = Polisher(PolisherConfig(arrow_rounds=0, min_cov=3,
+                                  het_skip_frac=0.35))
+    cns, _cov, cns_of_t = pol._vote_consensus(votes, template)
+    assert np.array_equal(cns, template), cns.tolist()
+    # the restored column maps to its own base; later columns shifted
+    assert cns_of_t[2] == 2 and cns_of_t[3] == 3 and cns_of_t[4] == 4
+    # without the gate the deletion goes through untouched
+    pol0 = Polisher(PolisherConfig(arrow_rounds=0, min_cov=3,
+                                   het_skip_frac=0.0))
+    cns0, _c, _m = pol0._vote_consensus(votes, template)
+    assert np.array_equal(cns0, np.array([0, 1, 3, 0], np.int8))
+
+
+def test_het_gate_min_count_floor_keeps_real_errors_testable():
+    """ADVICE r3 (low): a 3/2 split at minimum coverage is noise, not a
+    het site — the column must stay in the mutation-test queue."""
+    template = np.array([0, 1, 2, 3, 0], np.int8)
+    votes = np.zeros((5, 2, 5), np.int32)
+    for t in range(5):
+        votes[t, 0, template[t]] = 20
+    votes[2, 0, :] = 0
+    votes[2, 0, 1] = 3       # low-margin 3/2 split, cov 5
+    votes[2, 0, 2] = 2
+    pol = Polisher(PolisherConfig(arrow_rounds=1, min_cov=3,
+                                  het_skip_frac=0.35, het_min_count=3))
+    cns, _cov, cns_of_t = pol._vote_consensus(votes, template)
+    cand = pol._candidates(cns, votes, cns_of_t)
+    assert int(cns_of_t[2]) in cand, (cand, cns_of_t.tolist())
