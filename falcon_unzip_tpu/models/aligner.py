@@ -159,6 +159,10 @@ class ReadToContigAligner:
         self.index = KmerIndex.build(self.contigs, k=self.cfg.k,
                                      max_hits=self.cfg.max_hits)
         self._aligners: dict[tuple[int, int], BandedAligner] = {}
+        # flat contig pool for vectorized target packing
+        self._ctg_pool = (np.concatenate(self.contigs) if self.contigs
+                          else np.zeros(0, np.int8))
+        self.timings: dict = {}
 
     def _aligner(self) -> BandedAligner:
         if "a" not in self._aligners:
@@ -175,57 +179,85 @@ class ReadToContigAligner:
         Per-read results are independent, so sharding never changes
         record values, and the canonical sort makes order shard-invariant.
         """
+        import time as _time
         cfg = self.cfg
+        tm = {"seed_s": 0.0, "jobs_s": 0.0, "pack_s": 0.0,
+              "dispatch_s": 0.0, "fetch_s": 0.0, "post_s": 0.0}
         r_lo, r_hi = read_range if read_range is not None \
             else (0, len(reads))
+        # read pools for vectorized query packing: fwd + revcomp of the
+        # batch slice, with per-read offsets (jobs reference pool spans
+        # instead of materialized per-read arrays)
+        seqs = [reads.row(i) for i in range(r_lo, r_hi)]
+        rlen = np.array([len(s) for s in seqs], np.int64)
+        roff = np.zeros(len(seqs) + 1, np.int64)
+        np.cumsum(rlen, out=roff[1:])
+        fwd_pool = (np.concatenate(seqs) if seqs
+                    else np.zeros(0, np.int8))
+        rc_pool = (np.concatenate([revcomp(s) for s in seqs]) if seqs
+                   else np.zeros(0, np.int8))
+        qpool = np.concatenate([fwd_pool, rc_pool])
+        nf = len(fwd_pool)
+        ctg_starts = self.index.ctg_starts
+
         # 1) seed + chain every read (host, one vectorized pass for the
         #    whole batch when a single placement per read is kept —
         #    byte-identical to the per-read seed_read loop, which remains
         #    the fallback for max_hits_per_read > 1)
-        jobs = []  # (read_id, strand, ctg, win_lo, win_hi, q int8 array)
+        jobs = []  # (read_id, strand, ctg, win_lo, win_hi, q_off, q_len)
+        _t0 = _time.perf_counter()
         if cfg.max_hits_per_read == 1:
-            seqs = [reads.row(i) for i in range(r_lo, r_hi)]
             strand, ctg_a, score, d_min, d_max = seed_batch(
                 self.index, seqs, min_anchors=cfg.min_anchors)
+            tm["seed_s"] = _time.perf_counter() - _t0
+            _t0 = _time.perf_counter()
             for rid in np.nonzero(score >= 0)[0]:
-                r = seqs[rid]
-                ctg = self.contigs[ctg_a[rid]]
-                q = r if strand[rid] == 0 else revcomp(r)
+                L = int(rlen[rid])
+                t_len = len(self.contigs[ctg_a[rid]])
                 d0, d1 = int(d_min[rid]), int(d_max[rid])
-                q, q_lo = clip_query_overhang(q, d0, d1, len(ctg),
-                                              cfg.window_pad)
-                if len(q) < cfg.k:
+                # clip_query_overhang on pool spans (same arithmetic)
+                q_lo = max(0, -d0 - cfg.window_pad)
+                q_hi = max(0, d1 + L - t_len - cfg.window_pad)
+                qn = L - q_lo - q_hi
+                if qn < cfg.k:
                     continue
                 lo = max(0, d0 + q_lo - cfg.window_pad)
-                hi = min(len(ctg),
-                         d1 + q_lo + len(q) + cfg.k + cfg.window_pad)
+                hi = min(t_len,
+                         d1 + q_lo + qn + cfg.k + cfg.window_pad)
                 if hi - lo < cfg.k:
                     continue
+                q_off = (roff[rid] if strand[rid] == 0
+                         else nf + roff[rid]) + q_lo
                 jobs.append((int(rid) + r_lo, int(strand[rid]),
-                             int(ctg_a[rid]), lo, hi, q))
+                             int(ctg_a[rid]), lo, hi, int(q_off), qn))
         else:
             for rid in range(r_lo, r_hi):
-                r = reads.row(rid)
+                r = seqs[rid - r_lo]
                 if len(r) < cfg.k:
                     continue
                 hits = seed_read(self.index, r,
                                  min_anchors=cfg.min_anchors,
                                  max_hits_per_read=cfg.max_hits_per_read)
                 for h in hits[: cfg.max_hits_per_read]:
-                    ctg = self.contigs[h.ctg]
-                    q = r if h.strand == 0 else revcomp(r)
+                    L = len(r)
+                    t_len = len(self.contigs[h.ctg])
                     d0 = h.t_lo
-                    d1 = h.t_hi - len(r) - cfg.k
-                    q, q_lo = clip_query_overhang(q, d0, d1, len(ctg),
-                                                  cfg.window_pad)
-                    if len(q) < cfg.k:
+                    d1 = h.t_hi - L - cfg.k
+                    q_lo = max(0, -d0 - cfg.window_pad)
+                    q_hi = max(0, d1 + L - t_len - cfg.window_pad)
+                    qn = L - q_lo - q_hi
+                    if qn < cfg.k:
                         continue
                     lo = max(0, d0 + q_lo - cfg.window_pad)
-                    hi = min(len(ctg),
-                             d1 + q_lo + len(q) + cfg.k + cfg.window_pad)
+                    hi = min(t_len,
+                             d1 + q_lo + qn + cfg.k + cfg.window_pad)
                     if hi - lo < cfg.k:
                         continue
-                    jobs.append((rid, h.strand, h.ctg, lo, hi, q))
+                    q_off = (roff[rid - r_lo] if h.strand == 0
+                             else nf + roff[rid - r_lo]) + q_lo
+                    jobs.append((rid, h.strand, h.ctg, lo, hi,
+                                 int(q_off), qn))
+        tm["jobs_s"] = _time.perf_counter() - _t0
 
         # 2) bucket jobs by padded shapes and run the device DP.
         # The target bucket TRACKS the query bucket (bt = bq + 512*j)
@@ -241,10 +273,15 @@ class ReadToContigAligner:
                 "q_len", "dist")}
         tags_out: list[np.ndarray] = []
         aligner = self._aligner()
+        j_ctg = np.array([j[2] for j in jobs], np.int64)
+        j_lo = np.array([j[3] for j in jobs], np.int64)
+        j_hi = np.array([j[4] for j in jobs], np.int64)
+        j_qoff = np.array([j[5] for j in jobs], np.int64)
+        j_qn = np.array([j[6] for j in jobs], np.int64)
         buckets: dict[tuple[int, int], list[int]] = {}
-        for ji, (_, _, _, lo, hi, q) in enumerate(jobs):
-            bq = _q_bucket(len(q), aligner.use_pallas)
-            bt = _t_bucket(hi - lo, bq)
+        for ji in range(len(jobs)):
+            bq = _q_bucket(int(j_qn[ji]), aligner.use_pallas)
+            bt = _t_bucket(int(j_hi[ji] - j_lo[ji]), bq)
             buckets.setdefault((bq, bt), []).append(ji)
         # two-phase async: dispatch every chunk's device program first
         # (uploads/kernels/downloads of consecutive chunks overlap), then
@@ -260,32 +297,35 @@ class ReadToContigAligner:
         for (bq, bt), jidx in sorted(buckets.items()):
             for s in range(0, len(jidx), chunk_pairs):
                 chunk = jidx[s : s + chunk_pairs]
+                n_real = len(chunk)
+                if n_real < chunk_pairs and s > 0:
+                    # pad the tail chunk to the full batch (repeat last
+                    # job, results discarded) so each bucket compiles
+                    # exactly ONE device shape — ragged tails would each
+                    # trigger a fresh (serialized, expensive) compile
+                    chunk = chunk + [chunk[-1]] * (chunk_pairs - n_real)
                 P = len(chunk)
-                # pad the tail chunk to the full batch (repeat last job,
-                # results discarded) so each bucket compiles exactly ONE
-                # device shape — ragged tails would each trigger a fresh
-                # (serialized, expensive) kernel compile
-                n_real = P
-                if P < chunk_pairs and s > 0:
-                    chunk = chunk + [chunk[-1]] * (chunk_pairs - P)
-                    P = chunk_pairs
-                qa = np.full((P, bq), PAD, np.int8)
-                ta = np.full((P, bt), PAD, np.int8)
-                nn = np.zeros(P, np.int32)
-                mm = np.zeros(P, np.int32)
-                for pi, ji in enumerate(chunk):
-                    rid, strand, ctg, lo, hi, q = jobs[ji]
-                    qa[pi, : len(q)] = q
-                    ta[pi, : hi - lo] = self.contigs[ctg][lo:hi]
-                    nn[pi] = len(q)
-                    mm[pi] = hi - lo
-                pending.append((chunk, n_real,
-                                aligner.dispatch(qa, ta, nn, mm,
-                                                 want_moves=True)))
+                idx = np.asarray(chunk)
+                _tp = _time.perf_counter()
+                qa = _gather_rows(qpool, j_qoff[idx], j_qn[idx], P, bq)
+                ta = _gather_rows(self._ctg_pool,
+                                  ctg_starts[j_ctg[idx]] + j_lo[idx],
+                                  j_hi[idx] - j_lo[idx], P, bt)
+                tm["pack_s"] += _time.perf_counter() - _tp
+                _tp = _time.perf_counter()
+                pending.append((chunk, n_real, aligner.dispatch(
+                    qa, ta, j_qn[idx].astype(np.int32),
+                    (j_hi[idx] - j_lo[idx]).astype(np.int32),
+                    want_moves=True)))
+                tm["dispatch_s"] += _time.perf_counter() - _tp
         for chunk, n_real, handle in pending:
+                _tp = _time.perf_counter()
                 res = aligner.collect(handle)
+                tm["fetch_s"] += _time.perf_counter() - _tp
+                _tp = _time.perf_counter()
                 for pi, ji in enumerate(chunk[:n_real]):
-                    rid, strand, ctg, lo, hi, q = jobs[ji]
+                    rid, strand, ctg, lo, hi, q_off, qn = jobs[ji]
+                    q = qpool[q_off : q_off + qn]
                     # anchor both alignment ends on exact k-runs: smeared
                     # free-end tails (query overhang / read-end errors)
                     # emit no tags and no edits
@@ -307,10 +347,13 @@ class ReadToContigAligner:
                     out["strand"].append(strand)
                     out["t_start"].append(lo + start_j)
                     out["t_end"].append(lo + end_j)
-                    out["q_len"].append(len(q))
+                    out["q_len"].append(qn)
                     out["dist"].append(dist)
                     tags_out.append(tags)
+                tm["post_s"] += _time.perf_counter() - _tp
 
+        self.timings = {k: round(v, 2) for k, v in tm.items()}
+        self.timings["n_jobs"] = len(jobs)
         return AlnSet(
             read_id=np.array(out["read_id"], np.int32),
             ctg=np.array(out["ctg"], np.int32),
@@ -446,6 +489,36 @@ def _q_bucket(n: int, use_pallas: bool) -> int:
     while b < n:
         b *= 4
     return b
+
+
+def _gather_rows(pool: np.ndarray, src: np.ndarray, lens: np.ndarray,
+                 P: int, width: int) -> np.ndarray:
+    """Pack P variable-length pool slices into a PAD-padded (P, width)
+    batch with one vectorized gather (replaces the per-pair fill loops
+    that dominated host time at 10 Mb — VERDICT r3 next #1).
+
+    src[i]: pool start of row i; lens[i]: its true length (<= width).
+    """
+    out = np.full((P, width), PAD, np.int8)
+    lens = lens.astype(np.int64)
+    total = int(lens.sum())
+    if total == 0:
+        return out
+    rows = np.repeat(np.arange(P, dtype=np.int64), lens)
+    cum = np.cumsum(lens) - lens
+    cols = np.arange(total, dtype=np.int64) - np.repeat(cum, lens)
+    out[rows, cols] = pool[np.repeat(src.astype(np.int64), lens) + cols]
+    return out
+
+
+def _q_bucket_vec(n: np.ndarray, use_pallas: bool) -> np.ndarray:
+    """Vectorized _q_bucket over an int array (identical ladder)."""
+    n = np.maximum(np.asarray(n, np.int64), 1)
+    start, mult = (4096, 4) if use_pallas else (256, 2)
+    out = np.full(n.shape, start, np.int64)
+    while (n > out).any():
+        out = np.where(n > out, out * mult, out)
+    return out
 
 
 def _t_bucket(t_len: int, bq: int, step: int = 0) -> int:

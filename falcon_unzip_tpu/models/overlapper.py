@@ -93,8 +93,28 @@ class PreadOverlapper:
         self.cfg = cfg or OverlapperConfig()
         self.reads = reads
         self.seqs = [reads.row(i) for i in range(len(reads))]
+        self.lengths = np.array([len(s) for s in self.seqs], np.int64)
         self.index = KmerIndex.build(self.seqs, k=self.cfg.k,
                                      max_hits=self.cfg.max_hits)
+        self._pools = None
+        self.timings: dict = {}
+
+    def _seq_pools(self):
+        """(offs, fwd, rc): flat forward + revcomp pools over all preads.
+
+        Batch packing gathers query/target slices straight out of these
+        with one fancy index per chunk — the per-pair Python fill loop
+        they replace was a measured top term of the 10 Mb overlap stage
+        (VERDICT r3 next #1)."""
+        if self._pools is None:
+            offs = np.zeros(len(self.seqs) + 1, np.int64)
+            np.cumsum(self.lengths, out=offs[1:])
+            fwd = (np.concatenate(self.seqs) if self.seqs
+                   else np.zeros(0, np.int8))
+            rc = (np.concatenate([revcomp(s) for s in self.seqs])
+                  if self.seqs else np.zeros(0, np.int8))
+            self._pools = (offs, fwd, rc)
+        return self._pools
 
     def _candidates(self, a_range: tuple[int, int] | None = None):
         """Seed/chain candidate overlap placements (a_id < b_id only; the
@@ -103,21 +123,27 @@ class PreadOverlapper:
         a_range: optional [lo, hi) slice of a-read ids to seed from — the
         host-shard hook (each unordered pair is generated from its smaller
         id, so sharding the a axis partitions the candidate set exactly).
+
+        Returns columnar (a, b, strand, diag) int64/int8 arrays ordered
+        by (a, strand, b) — the same stream the per-read formulation
+        produced, without per-candidate Python objects.
         """
         cfg = self.cfg
         n = len(self.seqs)
         a_lo, a_hi = a_range if a_range is not None else (0, n)
-        cands = []  # (a, b, strand, diag)
+        offs, fwd, rc = self._seq_pools()
+        fwd_rows = [fwd[offs[i]:offs[i + 1]] for i in range(n)]
+        rc_rows = [rc[offs[i]:offs[i + 1]] for i in range(n)]
+        cols = {"a": [], "b": [], "s": [], "d": []}
         # pair keys must stay < 2^31 inside chain_best_per_pair; beyond
         # that, small blocks keep the anchor temporaries cache-resident
         # (measured: 64-read blocks beat both per-read and full-batch)
         block = max(1, min(n, 64, (1 << 31) // max(n, 1) - 1))
         for strand in (0, 1):
-            seqs = self.seqs if strand == 0 else \
-                [revcomp(s) for s in self.seqs]
+            rows = fwd_rows if strand == 0 else rc_rows
             for a0 in range(a_lo, a_hi, block):
                 rid, q_pos, t_pos, t_ctg = query_flat(
-                    self.index, seqs[a0 : min(a0 + block, a_hi)])
+                    self.index, rows[a0 : min(a0 + block, a_hi)])
                 a_glob = rid.astype(np.int64) + a0
                 # each unordered pair is chained once, from the smaller
                 # id (self anchors drop with it; self-rc also skipped)
@@ -129,12 +155,22 @@ class PreadOverlapper:
                 a_l, bs, t_los = chain_best_per_pair(
                     rid[keep], q_pos[keep], t_pos[keep], t_ctg[keep],
                     n_targets=n, min_anchors=cfg.min_anchors)
-                for al, b, d in zip(a_l, bs, t_los):
-                    cands.append((int(al) + a0, int(b), strand, int(d)))
+                cols["a"].append(np.asarray(a_l, np.int64) + a0)
+                cols["b"].append(np.asarray(bs, np.int64))
+                cols["s"].append(np.full(len(a_l), strand, np.int8))
+                cols["d"].append(np.asarray(t_los, np.int64))
+        a = (np.concatenate(cols["a"]) if cols["a"]
+             else np.zeros(0, np.int64))
+        b = (np.concatenate(cols["b"]) if cols["b"]
+             else np.zeros(0, np.int64))
+        s = (np.concatenate(cols["s"]) if cols["s"]
+             else np.zeros(0, np.int8))
+        d = (np.concatenate(cols["d"]) if cols["d"]
+             else np.zeros(0, np.int64))
         # deterministic order matching the per-read formulation: a, then
         # strand, then partner (graph construction consumes this order)
-        cands.sort(key=lambda c: (c[0], c[2], c[1]))
-        return cands
+        order = np.lexsort((b, s, a))
+        return a[order], b[order], s[order], d[order]
 
     def compute(self, a_range: tuple[int, int] | None = None) -> OverlapSet:
         """Verify candidates with banded DP and emit overlap records.
@@ -145,120 +181,134 @@ class PreadOverlapper:
         the other with a free-tail DP (qglocal) in both directions.
 
         a_range host-shards the candidate set (see _candidates).
-        """
-        cfg = self.cfg
-        cands = self._candidates(a_range)
-        aligner = BandedAligner(W=cfg.band, mode="tglocal")
-        cols = {k: [] for k in ("a_id", "b_id", "strand", "a_start", "a_end",
-                                "b_start", "b_end", "a_len", "b_len", "dist")}
-        jobs = []
-        for (a, b, strand, diag) in cands:
-            ra = self.seqs[a]
-            rb = self.seqs[b] if strand == 0 else revcomp(self.seqs[b])
-            # diag ~ rb_pos - ra_pos: a[x] matches rb[x + diag]
-            a_lo = max(0, -diag)
-            b_lo = max(0, diag)
-            ov = min(len(ra) - a_lo, len(rb) - b_lo)
-            if ov < cfg.min_overlap:
-                continue
-            # align the overlapping slice of a (query) onto a padded window
-            # of rb (target) with free target start/end
-            pad = cfg.band // 4
-            q = ra[a_lo : a_lo + ov]
-            t_lo = max(0, b_lo - pad)
-            t_hi = min(len(rb), b_lo + ov + pad)
-            jobs.append((a, b, strand, a_lo, ov, t_lo, t_hi, q,
-                         rb[t_lo:t_hi]))
 
-        # bucketed batched DP; the target bucket tracks the query bucket
-        # and the Pallas path uses the sparse canonical ladder (one
-        # serialized remote Mosaic compile per SHAPE — see
-        # models.aligner._q_bucket/_t_bucket notes)
-        from .aligner import _q_bucket
-        buckets: dict[tuple[int, int], list[int]] = {}
-        for ji, j in enumerate(jobs):
-            bq = _q_bucket(len(j[7]), aligner.use_pallas)
-            bt = _t_bucket(len(j[8]), bq)
-            buckets.setdefault((bq, bt), []).append(ji)
-        # two-phase async: dispatch all chunks, then collect (see
-        # models.aligner — avoids one blocking device round trip per chunk)
-        pending = []  # (chunk, n_real, handle)
-        # 2x chunks on the Pallas path: fewer relay round trips (see
-        # models.aligner)
+        Fully columnar: candidate windows, batch packing (flat-pool
+        gathers) and record emission are whole-array numpy passes — no
+        per-pair Python (VERDICT r3 next #1).  Stage wall-clocks land in
+        ``self.timings``.
+        """
+        import time as _time
+        cfg = self.cfg
+        tm: dict = {}
+        _t0 = _time.perf_counter()
+        a, b, strand, diag = self._candidates(a_range)
+        tm["cand_s"] = round(_time.perf_counter() - _t0, 2)
+        _t0 = _time.perf_counter()
+        aligner = BandedAligner(W=cfg.band, mode="tglocal")
+
+        # ---- candidate windows (vectorized) --------------------------
+        la = self.lengths[a] if len(a) else np.zeros(0, np.int64)
+        lb = self.lengths[b] if len(b) else np.zeros(0, np.int64)
+        a_lo = np.maximum(0, -diag)
+        b_lo = np.maximum(0, diag)
+        ov = np.minimum(la - a_lo, lb - b_lo)
+        keep = ov >= cfg.min_overlap
+        a, b, strand, a_lo, b_lo, ov, lb = (
+            x[keep] for x in (a, b, strand, a_lo, b_lo, ov, lb))
+        pad = cfg.band // 4
+        t_lo = np.maximum(0, b_lo - pad)
+        t_hi = np.minimum(lb, b_lo + ov + pad)
+        t_len = t_hi - t_lo
+        nj = len(a)
+
+        # ---- shape buckets (vectorized ladder, == scalar _q_bucket) --
+        from .aligner import _gather_rows, _q_bucket_vec
+        bq = _q_bucket_vec(ov, aligner.use_pallas)
+        bt = bq + 512 * np.maximum(
+            1, -(-np.maximum(t_len - bq, 1) // 512))      # _t_bucket
+        # job order within a bucket follows candidate order (stable sort)
+        key = bq * (1 << 32) + bt
+        order = np.argsort(key, kind="stable")
+
+        # source offsets into the flat pools: q from fwd[a], t from
+        # fwd[b] or rc[b] depending on strand (rc rows live at
+        # pool_off + offs[b] in the stacked pool)
+        offs, fwd, rc = self._seq_pools()
+        pool = np.concatenate([fwd, rc])
+        q_src = offs[a] + a_lo
+        t_src = offs[b] + t_lo + np.where(strand == 1, len(fwd), 0)
+
+        # ---- chunked dispatch with vectorized packing ----------------
+        pending = []  # (idx, n_real, handle)
         chunk_pairs = cfg.batch_pairs * (2 if aligner.use_pallas else 1)
-        for (bq, bt), jidx in sorted(buckets.items()):
-            for s in range(0, len(jidx), chunk_pairs):
-                chunk = jidx[s : s + chunk_pairs]
-                P = len(chunk)
-                # pad the tail chunk to the full batch (repeat last job,
-                # results discarded): one device shape per bucket, so the
-                # serialized remote kernel compile runs once, not per
-                # ragged tail size
-                n_real = P
-                if P < chunk_pairs and s > 0:
-                    chunk = chunk + [chunk[-1]] * (chunk_pairs - P)
-                    P = chunk_pairs
-                qa = np.full((P, bq), PAD, np.int8)
-                ta = np.full((P, bt), PAD, np.int8)
-                nn = np.zeros(P, np.int32)
-                mm = np.zeros(P, np.int32)
-                for pi, ji in enumerate(chunk):
-                    _, _, _, _, _, _, _, q, t = jobs[ji]
-                    qa[pi, : len(q)] = q
-                    ta[pi, : len(t)] = t
-                    nn[pi] = len(q)
-                    mm[pi] = len(t)
-                pending.append((chunk, n_real,
-                                aligner.dispatch(qa, ta, nn, mm,
-                                                 want_moves="summary")))
+        tm["pack_s"] = 0.0
+        tm["dispatch_s"] = 0.0
+        bounds = np.nonzero(np.diff(key[order]))[0] + 1
+        for grp in np.split(order, bounds):
+            gbq, gbt = int(bq[grp[0]]), int(bt[grp[0]])
+            for s in range(0, len(grp), chunk_pairs):
+                idx = grp[s : s + chunk_pairs]
+                n_real = len(idx)
+                if n_real < chunk_pairs and s > 0:
+                    # pad the tail chunk to the full batch (repeat last
+                    # job, results discarded): one device shape per
+                    # bucket, ONE serialized remote kernel compile
+                    idx = np.concatenate(
+                        [idx, np.full(chunk_pairs - n_real, idx[-1])])
+                P = len(idx)
+                _tp = _time.perf_counter()
+                qa = _gather_rows(pool, q_src[idx], ov[idx], P, gbq)
+                ta = _gather_rows(pool, t_src[idx], t_len[idx], P, gbt)
+                tm["pack_s"] += _time.perf_counter() - _tp
+                _tp = _time.perf_counter()
+                pending.append((idx, n_real, aligner.dispatch(
+                    qa, ta, ov[idx].astype(np.int32),
+                    t_len[idx].astype(np.int32), want_moves="summary")))
+                tm["dispatch_s"] += _time.perf_counter() - _tp
         # the moves strings are reduced ON DEVICE to a 7-int summary per
         # pair (ops.banded_align._summarize_moves) and ALL chunks are
         # fetched in one concatenated RPC: both the packed-moves payload
         # and the per-chunk fetch latency were the wall-clock terms here
+        _t0 = _time.perf_counter()
         allres = aligner.collect_summaries([h for _, _, h in pending])
-        row0 = 0
-        for chunk, n_real, handle in pending:
-                res = {k: v[row0 : row0 + len(chunk)]
-                       for k, v in allres.items()}
-                row0 += len(chunk)
-                for pi, ji in enumerate(chunk[:n_real]):
-                    a, b, strand, a_lo, ov, t_lo, t_hi, q, t = jobs[ji]
-                    dist = int(res["dist"][pi])
-                    if dist >= (1 << 20):
-                        continue
-                    end_j = int(res["end_j"][pi])
-                    start_j = end_j - int(res["n_t"][pi])
-                    # trim query insertions hanging off the target's ends
-                    # (the q window may overshoot the true overlap): leading
-                    # ups advance a_start, trailing ups retract a_end
-                    lead = int(res["lead"][pi])
-                    trail = max(0, min(int(res["trail"][pi]),
-                                       int(res["n_up"][pi]) - lead))
-                    a_s = a_lo + lead
-                    a_e = a_lo + ov - trail
-                    dist -= lead + trail
-                    span = a_e - a_s
-                    if span < cfg.min_overlap:
-                        continue
-                    if 1.0 - dist / max(span, 1) < cfg.min_identity:
-                        continue
-                    b_start = t_lo + start_j
-                    b_end = t_lo + end_j
-                    rb_len = len(self.seqs[b])
-                    cols["a_id"].append(a)
-                    cols["b_id"].append(b)
-                    cols["strand"].append(strand)
-                    cols["a_start"].append(a_s)
-                    cols["a_end"].append(a_e)
-                    cols["b_start"].append(b_start)
-                    cols["b_end"].append(b_end)
-                    cols["a_len"].append(len(self.seqs[a]))
-                    cols["b_len"].append(rb_len)
-                    cols["dist"].append(dist)
+        tm["fetch_s"] = round(_time.perf_counter() - _t0, 2)
 
-        return OverlapSet(**{k: np.array(v, np.int32 if k != "strand"
-                                         else np.int8)
-                             for k, v in cols.items()}).sort_canonical()
+        # ---- vectorized record emission ------------------------------
+        _t0 = _time.perf_counter()
+        live_l, rows_l = [], []
+        r0 = 0
+        for idx, n, _ in pending:           # rows: chunk-padded layout
+            live_l.append(idx[:n])
+            rows_l.append(np.arange(r0, r0 + n))
+            r0 += len(idx)
+        live = (np.concatenate(live_l) if live_l
+                else np.zeros(0, np.int64))
+        rows = (np.concatenate(rows_l) if rows_l
+                else np.zeros(0, np.int64))
+        dist = allres["dist"][rows].astype(np.int64)
+        end_j = allres["end_j"][rows].astype(np.int64)
+        start_j = end_j - allres["n_t"][rows]
+        # trim query insertions hanging off the target's ends (the q
+        # window may overshoot the true overlap): leading ups advance
+        # a_start, trailing ups retract a_end
+        lead = allres["lead"][rows].astype(np.int64)
+        trail = np.maximum(0, np.minimum(
+            allres["trail"][rows], allres["n_up"][rows] - lead))
+        a_s = a_lo[live] + lead
+        a_e = a_lo[live] + ov[live] - trail
+        dist = dist - lead - trail
+        span = a_e - a_s
+        ok = ((allres["dist"][rows] < (1 << 20))
+              & (span >= cfg.min_overlap)
+              & (1.0 - dist / np.maximum(span, 1) >= cfg.min_identity))
+        sel = live[ok]
+        out = OverlapSet(
+            a_id=a[sel].astype(np.int32), b_id=b[sel].astype(np.int32),
+            strand=strand[sel].astype(np.int8),
+            a_start=a_s[ok].astype(np.int32),
+            a_end=a_e[ok].astype(np.int32),
+            b_start=(t_lo[sel] + start_j[ok]).astype(np.int32),
+            b_end=(t_lo[sel] + end_j[ok]).astype(np.int32),
+            a_len=self.lengths[a[sel]].astype(np.int32),
+            b_len=self.lengths[b[sel]].astype(np.int32),
+            dist=dist[ok].astype(np.int32)).sort_canonical()
+        tm["emit_s"] = round(_time.perf_counter() - _t0, 2)
+        tm["pack_s"] = round(tm["pack_s"], 2)
+        tm["dispatch_s"] = round(tm["dispatch_s"], 2)
+        tm["n_cands"] = nj
+        tm["n_overlaps"] = len(out)
+        self.timings = tm
+        return out
 
 
 def _bucket(n: int, minimum: int = 256) -> int:

@@ -39,6 +39,47 @@ def association_band_device(M, *, max_span: int):
     return score.T.astype(jnp.int32), cov.T.astype(jnp.int32)
 
 
+@functools.partial(jax.jit, static_argnames=("max_span",))
+def association_band_batch(M, *, max_span: int):
+    """Batched banded association for G contigs in one program.
+
+    M: (G, n_reads, n_sites) int8.  Returns (score, cov) each
+    (G, n_sites, max_span) int32; per-contig slices equal
+    association_band_device bit-for-bit (integer sums are order-free).
+    """
+    G, n_reads, n_sites = M.shape
+    Mi = M.astype(jnp.int32)
+    Mpad = jnp.pad(Mi, ((0, 0), (0, 0), (0, max_span + 1)))
+
+    def step(_, d):
+        shifted = jax.lax.dynamic_slice(Mpad, (0, 0, d),
+                                        (G, n_reads, n_sites))
+        prod = Mi * shifted
+        return None, (prod.sum(axis=1), jnp.abs(prod).sum(axis=1))
+
+    _, (score, cov) = jax.lax.scan(
+        step, None, jnp.arange(1, max_span + 1, dtype=jnp.int32))
+    # (max_span, G, n_sites) -> (G, n_sites, max_span)
+    return (score.transpose(1, 2, 0).astype(jnp.int32),
+            cov.transpose(1, 2, 0).astype(jnp.int32))
+
+
+@jax.jit
+def read_block_votes_batch(M, block_onehot, sgn):
+    """Batched per-read block votes: (G, R, S) x (G, S, B) -> (G, R, B).
+
+    Same exact-integer-in-f32 matmul semantics as read_block_votes, with
+    a leading contig-group axis (one MXU batched matmul per group).
+    """
+    Mf = M.astype(jnp.float32)
+    oh = block_onehot.astype(jnp.float32)
+    votes = jnp.einsum("grs,gsb->grb", Mf * sgn.astype(jnp.float32)[:, None, :],
+                       oh, preferred_element_type=jnp.float32)
+    covs = jnp.einsum("grs,gsb->grb", jnp.abs(Mf), oh,
+                      preferred_element_type=jnp.float32)
+    return votes.astype(jnp.int32), covs.astype(jnp.int32)
+
+
 @jax.jit
 def read_block_votes(M, block_onehot, sgn):
     """Per-read per-block vote and coverage via MXU matmuls.

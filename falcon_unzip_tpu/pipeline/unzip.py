@@ -110,6 +110,7 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
                          for b in dist.allgather_bytes(local.to_bytes())])
             else:
                 overlaps_holder["ovl"] = overlapper.compute()
+            overlaps_holder["timings"] = overlapper.timings
         return overlaps_holder["ovl"]
 
     def _draft(st: Stage):
@@ -180,7 +181,8 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
             else:
                 _aln_cache["a"] = aligner.align_batch(preads)
             metrics.log("align_compute",
-                        s=round(_time.perf_counter() - _t0, 2))
+                        s=round(_time.perf_counter() - _t0, 2),
+                        **aligner.timings)
         return _aln_cache["a"]
 
     def _gather_track_cols():
@@ -271,13 +273,23 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
         aln = get_aln()
         my_ctgs = (np.nonzero(owners == my_host)[0] if multi
                    else np.arange(len(contigs)))
+        if phase_ops is None:
+            # grouped batched device programs: a few dispatch/fetch
+            # rounds for ALL contigs instead of ~6 round trips per
+            # contig (the serial loop was ~130 s of the 10 Mb run)
+            from ..models.phaser import phase_contigs_batched
+            phs = phase_contigs_batched(
+                aln, [int(c) for c in my_ctgs],
+                [len(contigs[int(c)]) for c in my_ctgs], ph_cfg)
+        else:
+            phs = [phase_contig_device(aln, int(ci),
+                                       len(contigs[int(ci)]), ph_cfg,
+                                       phase_ops=phase_ops)
+                   for ci in my_ctgs]
         phase_rows = []
-        for ci in my_ctgs:
-            ci = int(ci)
-            ph = phase_contig_device(aln, ci, len(contigs[ci]), ph_cfg,
-                                     phase_ops=phase_ops)
+        for ci, ph in zip(my_ctgs, phs):
             phase_rows.append(phased_reads_table(ph))
-            metrics.log("phasing", ctg=ci, n_het=len(ph.het_pos),
+            metrics.log("phasing", ctg=int(ci), n_het=len(ph.het_pos),
                         **phase_block_stats(ph.block_id, ph.het_pos))
         phased = np.concatenate(phase_rows) if phase_rows else \
             np.zeros((0, 4), np.int64)
@@ -337,7 +349,8 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
                                "recomputing inline", exc)
                 overlaps_holder.pop("ovl", None)
         ovl = _compute_overlaps(primary_only=True)
-        metrics.log("hasm_overlaps", s=round(_time.perf_counter() - _t0, 2))
+        metrics.log("hasm_overlaps", s=round(_time.perf_counter() - _t0, 2),
+                    **overlaps_holder.get("timings", {}))
         if multi and not dist.is_primary_host():
             return {}
         keep = phase_filter_mask(ovl, read_ctg, read_block, read_phase,

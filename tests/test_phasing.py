@@ -66,3 +66,36 @@ def test_read_phases_consistent_with_truth(sim):
         agree += int(match)
         total += int(sel.sum())
     assert agree / total > 0.95, (agree, total)
+
+
+def test_phase_contigs_batched_matches_per_contig():
+    """phase_contigs_batched == [phase_contig_device(...)] bit-for-bit
+    across contigs of different shapes (the grouped-dispatch driver)."""
+    from falcon_unzip_tpu.models.phaser import phase_contigs_batched
+    from falcon_unzip_tpu.models.aligner import ReadToContigAligner
+    from falcon_unzip_tpu.seq import SeqBatch
+    from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
+
+    contigs, all_reads = [], []
+    for ci, ln in enumerate((9000, 5000, 14000)):
+        dip = make_diploid(length=ln, het_rate=0.02, seed=70 + ci,
+                           het_span=(0.1, 0.9))
+        rd = simulate_reads(dip, coverage=14.0, read_len=2500,
+                            error_rate=0.0, seed=80 + ci)
+        contigs.append(dip.hap0)
+        all_reads += [rd.batch.to_str(i) for i in range(len(rd.batch))]
+    batch = SeqBatch.from_strs(all_reads)
+    aln = ReadToContigAligner(contigs).align_batch(batch)
+    t_lens = [len(c) for c in contigs]
+    batched = phase_contigs_batched(aln, range(3), t_lens)
+    for ci in range(3):
+        ref = phase_contig_device(aln, ci, t_lens[ci])
+        got = batched[ci]
+        assert np.array_equal(got.het_pos, ref.het_pos)
+        assert np.array_equal(got.b1, ref.b1)
+        assert np.array_equal(got.b2, ref.b2)
+        assert np.array_equal(got.block_id, ref.block_id)
+        assert np.array_equal(got.orient, ref.orient)
+        assert np.array_equal(got.read_ids, ref.read_ids)
+        assert np.array_equal(got.r_block, ref.r_block)
+        assert np.array_equal(got.r_phase, ref.r_phase)
