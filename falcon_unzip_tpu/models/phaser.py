@@ -22,9 +22,9 @@ from ..ops.association import (assign_reads, association_band_batch,
                                association_band_device, read_block_votes,
                                read_block_votes_batch)
 from ..ops.pileup import (allele_matrix_scatter,
-                          allele_matrix_scatter_batch, het_call_vec,
-                          pileup_het_batch, pileup_scatter,
-                          template_vote_scatter_batch)
+                          allele_matrix_scatter_batch, het_call_host,
+                          het_call_vec, pileup_het_batch, pileup_host,
+                          pileup_scatter)
 from .aligner import AlnSet
 
 
@@ -233,13 +233,35 @@ def _group_chunks(keys: list[tuple], per_bytes, cap_bytes: int):
 
 
 def _batched_pileup_het(prep: list[dict], cfg: PhasingConfig,
-                        cap_bytes: int = 1 << 30) -> None:
-    """Fill per-contig het_pos/b1/b2 via grouped pileup+het programs."""
-    keys = [(p["Tb"], p["Nb"]) for p in prep]
+                        cap_bytes: int = 1 << 30,
+                        host_tag_cap: int = 1 << 25) -> None:
+    """Fill per-contig het_pos/b1/b2 via grouped pileup+het programs.
+
+    Contigs with more than host_tag_cap flat tags run the pileup + het
+    predicate on HOST (ops.pileup.pileup_host / het_call_host — shipping
+    hundreds of MB of tag arrays through the device relay costs more
+    than the bincount; results are bit-identical, tested)."""
+    keys, dev = [], []
+    for k, p in enumerate(prep):
+        if len(p["pos"]) > host_tag_cap:
+            counts = pileup_host(p["pos"], p["base"], p["t_len"])
+            is_het, b1a, b2a = het_call_host(
+                counts, min_depth=cfg.min_depth,
+                min_allele_count=cfg.min_allele_count,
+                allele_freq_min=cfg.allele_freq_min,
+                biallelic_frac=cfg.biallelic_frac)
+            het = np.nonzero(is_het)[0].astype(np.int64)
+            p["het_pos"] = het
+            p["b1"] = b1a[het]
+            p["b2"] = b2a[het]
+        else:
+            dev.append(k)
+            keys.append((p["Tb"], p["Nb"]))
     pend = []
     for sub, Gb in _group_chunks(
             keys, lambda k: k[0] * 20 + k[1] * 8, cap_bytes):
-        Tb, Nb = keys[sub[0]]
+        sub = [dev[i] for i in sub]
+        Tb, Nb = prep[sub[0]]["Tb"], prep[sub[0]]["Nb"]
         pos_b = np.full((Gb, Nb), -1, np.int32)
         base_b = np.zeros((Gb, Nb), np.int32)
         for gi, k in enumerate(sub):
@@ -264,105 +286,230 @@ def _batched_pileup_het(prep: list[dict], cfg: PhasingConfig,
             p["b2"] = b2a[gi][het]
 
 
+def _het_filter_tags(p: dict):
+    """(row, pos, base) restricted to het-site positions.
+
+    Only het-site tags contribute to the allele matrix / association /
+    votes, and they are ~1%% of all tags — filtering before upload cuts
+    the association stage's transfer and scatter sizes ~100x."""
+    t_len = p["t_len"]
+    het_mask = np.zeros(t_len, bool)
+    het_mask[p["het_pos"]] = True
+    pos = p["pos"]
+    sel = (pos >= 0) & (pos < t_len)
+    sel &= het_mask[np.clip(pos, 0, t_len - 1)]
+    return p["row"][sel], pos[sel], p["base"][sel]
+
+
+def _sparse_block_votes(p: dict, cfg: PhasingConfig, n_blocks: int):
+    """Host per-record block votes from flat het tags (long contigs).
+
+    Semantics == assign_reads(read_block_votes(M, onehot, sgn)) — the
+    dense (records x blocks) vote matrix of an Mb-contig does not fit,
+    but each record observes only a handful of blocks, so the votes are
+    summed over unique (record, block) keys and the winner per record
+    picked with the same (max cov, ties -> smaller block) rule."""
+    R = len(p["rec_idx"])
+    r_block = np.full(R, -1, np.int64)
+    r_phase = np.full(R, -1, np.int8)
+    hrow, hpos, hbase = p["het_tags"]
+    if not len(hrow):
+        return r_block, r_phase
+    p2s = np.full(p["t_len"], -1, np.int64)
+    p2s[p["het_pos"]] = np.arange(len(p["het_pos"]))
+    site = p2s[hpos]
+    blk = p["block_id"][site]
+    sel = blk >= 0
+    if not sel.any():
+        return r_block, r_phase
+    row, site, base, blk = hrow[sel], site[sel], hbase[sel], blk[sel]
+    sgn = 1 - 2 * p["orient"].astype(np.int32)
+    val = np.where(base == p["b1"][site], 1,
+                   np.where(base == p["b2"][site], -1, 0)) * sgn[site]
+    key = row.astype(np.int64) * n_blocks + blk
+    uk, inv = np.unique(key, return_inverse=True)
+    votes = np.zeros(len(uk), np.int64)
+    covs = np.zeros(len(uk), np.int64)
+    np.add.at(votes, inv, val)
+    np.add.at(covs, inv, np.abs(val))
+    rows_u = uk // n_blocks
+    blk_u = uk % n_blocks
+    order = np.lexsort((blk_u, -covs, rows_u))
+    first = np.unique(rows_u[order], return_index=True)[1]
+    win = order[first]
+    ok = (covs[win] > 0) & (votes[win] != 0)
+    win = win[ok]
+    r_block[rows_u[win]] = blk_u[win]
+    r_phase[rows_u[win]] = np.where(votes[win] > 0, 0, 1)
+    return r_block, r_phase
+
+
 def phase_contigs_batched(aln: AlnSet, ctg_ids, t_lens,
                           cfg: PhasingConfig | None = None,
-                          cap_bytes: int = 1 << 30
+                          cap_bytes: int = 1 << 30,
+                          s_win: int = 2048, long_s: int = 3072,
+                          host_tag_cap: int = 1 << 25
                           ) -> list[ContigPhasing]:
     """Phase MANY contigs with grouped batched device programs.
 
     Drop-in for [phase_contig_device(aln, ci, tl, cfg) for ci, tl in
     zip(ctg_ids, t_lens)] with bit-identical outputs (ContigPhasing
     .counts is omitted — no production consumer needs the full pileup).
+
+    Mb-scale contigs (more than long_s het sites) take the LONG path —
+    the SURVEY §5 long-context design applied to phasing: association
+    runs over overlapping windows of s_win sites (the band only pairs
+    sites within max_span, so rows away from a window edge are complete
+    and windows stitch exactly), and block votes are summed sparsely on
+    host instead of materializing the (records x sites) matrix.
     """
     cfg = cfg or PhasingConfig()
     prep = [_prep_contig(aln, int(ci), int(tl))
             for ci, tl in zip(ctg_ids, t_lens)]
-    _batched_pileup_het(prep, cfg, cap_bytes)
+    _batched_pileup_het(prep, cfg, cap_bytes, host_tag_cap)
 
-    # ---- grouped allele matrix + association (M stays on device) -----
-    live = [k for k, p in enumerate(prep)
-            if len(p["het_pos"]) and len(p["rec_idx"])]
-    for k in live:
-        p = prep[k]
-        p["Sb"] = _bucket(len(p["het_pos"]), 256)
-        p["Rb"] = _bucket(len(p["rec_idx"]), 256)
-    keys = {k: (prep[k]["Tb"], prep[k]["Nb"], prep[k]["Sb"],
-                prep[k]["Rb"]) for k in live}
+    # ---- association entries: small contig = one entry; long contig =
+    # overlapping site windows in template-shifted coordinates
+    entries: list[dict] = []
+    for k, p in enumerate(prep):
+        S = len(p["het_pos"])
+        R = len(p["rec_idx"])
+        p["long"] = S > long_s
+        if S == 0 or R == 0:
+            continue
+        hrow, hpos, hbase = _het_filter_tags(p)
+        p["het_tags"] = (hrow, hpos, hbase)
+        if not p["long"]:
+            entries.append({
+                "k": k, "w_lo": 0, "S_w": S, "final": True,
+                "row": hrow, "pos": hpos, "base": hbase,
+                "het_local": p["het_pos"], "b1": p["b1"], "b2": p["b2"],
+                "Tb": p["Tb"], "R_rows": R})
+        else:
+            stride = s_win - cfg.max_span
+            w_lo = 0
+            while True:
+                w_hi = min(S, w_lo + s_win)
+                span_lo = int(p["het_pos"][w_lo])
+                span_hi = int(p["het_pos"][w_hi - 1]) + 1
+                wsel = (hpos >= span_lo) & (hpos < span_hi)
+                rw = hrow[wsel]
+                # rows renumbered densely: association sums over rows,
+                # identity is irrelevant within a window
+                _, rloc = np.unique(rw, return_inverse=True)
+                entries.append({
+                    "k": k, "w_lo": w_lo, "S_w": w_hi - w_lo,
+                    "final": w_hi >= S,
+                    "row": rloc.astype(np.int32),
+                    "pos": (hpos[wsel] - span_lo).astype(np.int32),
+                    "base": hbase[wsel],
+                    "het_local": p["het_pos"][w_lo:w_hi] - span_lo,
+                    "b1": p["b1"][w_lo:w_hi], "b2": p["b2"][w_lo:w_hi],
+                    "Tb": _bucket(span_hi - span_lo, 4096),
+                    "R_rows": int(rloc.max()) + 1 if len(rloc) else 1})
+                if w_hi >= S:
+                    break
+                w_lo += stride
+            p["score"] = np.zeros((S, cfg.max_span), np.int32)
+            p["cov"] = np.zeros((S, cfg.max_span), np.int32)
+
+    for e in entries:
+        e["Nb"] = _bucket(len(e["pos"]), 8192)
+        e["Sb"] = _bucket(e["S_w"], 256)
+        e["Rb"] = _bucket(e["R_rows"], 256)
 
     def _assoc_bytes(key):
         Tb, Nb, Sb, Rb = key
         return Rb * Sb * 13 + Tb * 4 + Nb * 12
 
     pend = []
-    for sub, Gb in _group_chunks([keys[k] for k in live],
-                                 _assoc_bytes, cap_bytes):
-        sub = [live[i] for i in sub]
-        Tb, Nb, Sb, Rb = keys[sub[0]]
+    ekeys = [(e["Tb"], e["Nb"], e["Sb"], e["Rb"]) for e in entries]
+    for sub, Gb in _group_chunks(ekeys, _assoc_bytes, cap_bytes):
+        Tb, Nb, Sb, Rb = ekeys[sub[0]]
         pos_b = np.full((Gb, Nb), -1, np.int32)
         base_b = np.zeros((Gb, Nb), np.int32)
         row_b = np.zeros((Gb, Nb), np.int32)
         p2s = np.full((Gb, Tb), -1, np.int32)
         b1_b = np.full((Gb, Sb), -9, np.int32)
         b2_b = np.full((Gb, Sb), -9, np.int32)
-        for gi, k in enumerate(sub):
-            p = prep[k]
-            pos_b[gi, : len(p["pos"])] = p["pos"]
-            base_b[gi, : len(p["base"])] = p["base"]
-            row_b[gi, : len(p["row"])] = p["row"]
-            S = len(p["het_pos"])
-            p2s[gi][p["het_pos"]] = np.arange(S, dtype=np.int32)
-            b1_b[gi, :S] = p["b1"]
-            b2_b[gi, :S] = p["b2"]
+        for gi, ei in enumerate(sub):
+            e = entries[ei]
+            pos_b[gi, : len(e["pos"])] = e["pos"]
+            base_b[gi, : len(e["base"])] = e["base"]
+            row_b[gi, : len(e["row"])] = e["row"]
+            S_w = e["S_w"]
+            p2s[gi][e["het_local"]] = np.arange(S_w, dtype=np.int32)
+            b1_b[gi, :S_w] = e["b1"]
+            b2_b[gi, :S_w] = e["b2"]
         M = allele_matrix_scatter_batch(
             row_b, pos_b, base_b, p2s, b1_b, b2_b,
             n_reads=Rb, n_sites=Sb, t_len=Tb)
         sc = association_band_batch(M, max_span=cfg.max_span)
         pend.append((sub, M, sc))
 
-    # ---- host: phase blocks per contig; then grouped block votes -----
-    votes_pend = []
+    # ---- host: assemble score/cov; phase blocks per contig ----------
+    small_groups = []           # (sub_small, M, per_ctg rows) for votes
     for sub, M, (score, cov) in pend:
         score = np.asarray(score)
         cov = np.asarray(cov)
-        Gb = score.shape[0]
-        Sb = prep[sub[0]]["Sb"]
-        onehot = np.zeros((Gb, Sb, 0), np.int8)
-        max_blocks = 0
-        per_ctg = []
-        for gi, k in enumerate(sub):
-            p = prep[k]
-            S = len(p["het_pos"])
-            block_id, orient = phase_blocks(score[gi][:S], cov[gi][:S],
-                                            S, cfg)
-            p["block_id"] = block_id
-            p["orient"] = orient
-            n_blocks = int(block_id.max()) + 1 if S else 0
-            max_blocks = max(max_blocks, n_blocks)
-            per_ctg.append((gi, k, n_blocks))
+        small = []
+        for gi, ei in enumerate(sub):
+            e = entries[ei]
+            p = prep[e["k"]]
+            S_w = e["S_w"]
+            if not p["long"]:
+                p["score"] = score[gi][:S_w]
+                p["cov"] = cov[gi][:S_w]
+                small.append((gi, e["k"]))
+            else:
+                # non-final windows contribute their band-complete rows
+                # [w_lo, w_lo + S_w - max_span); the final window all
+                take = S_w if e["final"] else S_w - cfg.max_span
+                w_lo = e["w_lo"]
+                p["score"][w_lo : w_lo + take] = score[gi][:take]
+                p["cov"][w_lo : w_lo + take] = cov[gi][:take]
+        if small:
+            small_groups.append((small, M, score.shape[0]))
+
+    for p in prep:
+        S = len(p.get("het_pos", ()))
+        if S and "score" in p:
+            p["block_id"], p["orient"] = phase_blocks(
+                p["score"], p["cov"], S, cfg)
+            p["n_blocks"] = int(p["block_id"].max()) + 1
+
+    # ---- votes: device matmul for small contigs, host sparse for long
+    votes_pend = []
+    for small, M, Gb in small_groups:
+        Sb = M.shape[2]
+        max_blocks = max((prep[k].get("n_blocks", 0)
+                          for _gi, k in small), default=0)
         Bb = _bucket(max(max_blocks, 1), 16)
         onehot = np.zeros((Gb, Sb, Bb), np.int8)
         sgn = np.ones((Gb, Sb), np.int32)
-        for gi, k, n_blocks in per_ctg:
+        for gi, k in small:
             p = prep[k]
             S = len(p["het_pos"])
             sel = p["block_id"] >= 0
             onehot[gi][np.nonzero(sel)[0], p["block_id"][sel]] = 1
             sgn[gi, :S] = 1 - 2 * p["orient"].astype(np.int32)
         v = read_block_votes_batch(M, onehot, sgn)
-        votes_pend.append((sub, per_ctg, v))
-
-    for sub, per_ctg, (votes, covs) in votes_pend:
+        votes_pend.append((small, v))
+    for small, (votes, covs) in votes_pend:
         votes = np.asarray(votes)
         covs = np.asarray(covs)
-        for gi, k, n_blocks in per_ctg:
+        for gi, k in small:
             p = prep[k]
             R = len(p["rec_idx"])
-            if n_blocks == 0:
-                p["r_block"] = np.full(R, -1, np.int64)
-                p["r_phase"] = np.full(R, -1, np.int8)
-            else:
-                p["r_block"], p["r_phase"] = assign_reads(
-                    votes[gi][:R, :n_blocks], covs[gi][:R, :n_blocks])
+            nb = p.get("n_blocks", 0)
+            if nb <= 0:
+                continue
+            p["r_block"], p["r_phase"] = assign_reads(
+                votes[gi][:R, :nb], covs[gi][:R, :nb])
+    for p in prep:
+        if p.get("long") and p.get("n_blocks", 0) > 0:
+            p["r_block"], p["r_phase"] = _sparse_block_votes(
+                p, cfg, p["n_blocks"])
 
     out = []
     for p in prep:
@@ -384,14 +531,19 @@ def template_route_votes(aln: AlnSet, ctg_ids, t_lens, templates,
                          cap_bytes: int = 1 << 30):
     """Per-record template-agreement votes for the quiver phase routing.
 
-    For each contig: call het sites from the record pileup, then score
-    every record +1/-1 per het site where it carries the template's own
-    allele / the opposite allele.  Records with a NEGATIVE vote oppose
-    the template's haplotype and should be dropped; 0 (spans no usable
-    het site) keeps.  Role parity: [U] quiver consumes the tracked
-    phase map instead of re-running full phasing (SURVEY.md §3.4 step
-    1) — this replaces the full phase_contig_device re-phasing that was
-    the 4th-largest wall-clock item at 10 Mb (VERDICT r3 weak #7).
+    For each contig: call het sites from the record pileup (grouped
+    batched device programs), then score every record +1/-1 per het
+    site where it carries the template's own allele / the opposite
+    allele.  Records with a NEGATIVE vote oppose the template's
+    haplotype and should be dropped; 0 (spans no usable het site)
+    keeps.  Role parity: [U] quiver consumes the tracked phase map
+    instead of re-running full phasing (SURVEY.md §3.4 step 1) — this
+    replaces the full phase_contig_device re-phasing that was the
+    4th-largest wall-clock item at 10 Mb (VERDICT r3 weak #7).
+
+    The vote itself is one vectorized host pass over the ~1% of tags
+    that sit on het sites — after the device het call there is nothing
+    left worth shipping through the relay.
 
     Returns a list of (rec_idx, votes) per contig, aligned with ctg_ids.
     """
@@ -399,44 +551,24 @@ def template_route_votes(aln: AlnSet, ctg_ids, t_lens, templates,
     prep = [_prep_contig(aln, int(ci), int(tl))
             for ci, tl in zip(ctg_ids, t_lens)]
     _batched_pileup_het(prep, cfg, cap_bytes)
+    out = []
     for p, tpl in zip(prep, templates):
+        R = len(p["rec_idx"])
+        votes = np.zeros(R, np.int64)
         het = p["het_pos"]
-        tb = np.asarray(tpl)[het].astype(np.int32) if len(het) else \
-            np.zeros(0, np.int32)
-        is1 = tb == p["b1"]
-        is2 = tb == p["b2"]
-        valid = is1 | is2
-        p["tmpl_a"] = np.where(valid, tb, -9)
-        p["other_a"] = np.where(is1, p["b2"],
-                                np.where(is2, p["b1"], -9)).astype(np.int32)
-        p["Rb"] = _bucket(max(len(p["rec_idx"]), 1), 256)
-
-    keys = [(p["Tb"], p["Nb"], p["Rb"]) for p in prep]
-    pend = []
-    for sub, Gb in _group_chunks(
-            keys, lambda k: k[0] * 8 + k[1] * 12 + k[2] * 4, cap_bytes):
-        Tb, Nb, Rb = keys[sub[0]]
-        pos_b = np.full((Gb, Nb), -1, np.int32)
-        base_b = np.zeros((Gb, Nb), np.int32)
-        row_b = np.zeros((Gb, Nb), np.int32)
-        ta = np.full((Gb, Tb), -9, np.int32)
-        oa = np.full((Gb, Tb), -9, np.int32)
-        for gi, k in enumerate(sub):
-            p = prep[k]
-            pos_b[gi, : len(p["pos"])] = p["pos"]
-            base_b[gi, : len(p["base"])] = p["base"]
-            row_b[gi, : len(p["row"])] = p["row"]
-            het = p["het_pos"]
-            if len(het):
-                ta[gi][het] = p["tmpl_a"]
-                oa[gi][het] = p["other_a"]
-        v = template_vote_scatter_batch(row_b, pos_b, base_b, ta, oa,
-                                        n_reads=Rb, t_len=Tb)
-        pend.append((sub, v))
-    out: list = [None] * len(prep)
-    for sub, v in pend:
-        v = np.asarray(v)
-        for gi, k in enumerate(sub):
-            p = prep[k]
-            out[k] = (p["rec_idx"], v[gi][: len(p["rec_idx"])])
+        if len(het) and R:
+            tb = np.asarray(tpl)[het].astype(np.int32)
+            is1 = tb == p["b1"]
+            is2 = tb == p["b2"]
+            tmpl_a = np.where(is1 | is2, tb, -9)
+            other_a = np.where(is1, p["b2"],
+                               np.where(is2, p["b1"], -9)).astype(np.int32)
+            hrow, hpos, hbase = _het_filter_tags(p)
+            p2s = np.full(p["t_len"], -1, np.int64)
+            p2s[het] = np.arange(len(het))
+            site = p2s[hpos]
+            val = np.where(hbase == tmpl_a[site], 1,
+                           np.where(hbase == other_a[site], -1, 0))
+            np.add.at(votes, hrow, val)
+        out.append((p["rec_idx"], votes))
     return out

@@ -103,6 +103,51 @@ def pileup_het_batch(pos, base, *, t_len: int, min_depth: int,
     return out
 
 
+def pileup_host(pos: np.ndarray, base: np.ndarray,
+                t_len: int) -> np.ndarray:
+    """Host pileup (np.bincount), == pileup_scatter bit-for-bit.
+
+    The device scatter is the production path; Mb-scale contigs carry
+    hundreds of millions of flat tags, and shipping them through the
+    relay costs more than the bincount — the host path keeps pileup
+    O(tags) local and feeds the same integer counts downstream.
+    """
+    ok = (pos >= 0) & (pos < t_len)
+    key = (pos[ok].astype(np.int64) * 5
+           + np.clip(base[ok], 0, 4).astype(np.int64))
+    return np.bincount(key, minlength=t_len * 5).reshape(
+        t_len, 5).astype(np.int32)
+
+
+def het_call_host(counts: np.ndarray, *, min_depth: int,
+                  min_allele_count: int, allele_freq_min: float,
+                  biallelic_frac: float):
+    """Numpy mirror of _het_core, float32 scaling like the jit path.
+
+    Integer comparisons; the two float products use np.float32 so the
+    host result is bit-identical to het_call_vec (tested).
+    """
+    counts = np.asarray(counts)
+    depth = counts.sum(axis=1)
+    bc = counts[:, :4]
+    b1 = np.argmax(bc, axis=1)
+    c1 = np.take_along_axis(bc, b1[:, None], axis=1)[:, 0]
+    bc2 = bc.copy()
+    bc2[np.arange(len(bc)), b1] = -1
+    b2 = np.argmax(bc2, axis=1)
+    c2 = np.take_along_axis(bc2, b2[:, None], axis=1)[:, 0]
+    c12 = c1 + c2
+    thresh = np.maximum(
+        min_allele_count,
+        np.ceil(np.float32(allele_freq_min)
+                * c12.astype(np.float32)).astype(np.int32))
+    is_het = ((depth >= min_depth)
+              & (c2 >= thresh)
+              & (c12.astype(np.float32)
+                 >= np.float32(biallelic_frac) * depth.astype(np.float32)))
+    return is_het, b1.astype(np.int8), b2.astype(np.int8)
+
+
 def call_het_sites_device(counts: np.ndarray, cfg: PhasingConfig):
     """Numpy-in/out wrapper matching oracle.call_het_sites output format."""
     is_het, b1, b2 = het_call_vec(
@@ -142,34 +187,6 @@ def allele_matrix_scatter_batch(read_row, pos, base, pos_to_site, b1, b2,
     M = M.at[g, jnp.clip(read_row, 0, n_reads - 1), s].set(
         jnp.where(hit, val, 0))
     return M[:, :, :n_sites]
-
-
-@functools.partial(jax.jit, static_argnames=("n_reads", "t_len"))
-def template_vote_scatter_batch(read_row, pos, base, tmpl_allele,
-                                other_allele, *, n_reads: int, t_len: int):
-    """Per-record template-agreement votes for G contigs in one program.
-
-    tmpl_allele/other_allele: (G, t_len) int32 — the template's own
-    allele and the opposite het allele at het positions (-9 elsewhere,
-    matching no base).  Returns votes (G, n_reads) int32:
-    +1 per het site where the record carries the template's allele,
-    -1 where it carries the opposite allele.  This is the quiver
-    phase-routing vote ([U] SURVEY.md §3.4 step 1 consumes tracked
-    phase instead of re-running full phasing) without materializing the
-    (reads x sites) allele matrix or the association table.
-    """
-    G, N = pos.shape
-    g = jnp.broadcast_to(jnp.arange(G, dtype=jnp.int32)[:, None], (G, N))
-    pc = jnp.clip(pos, 0, t_len - 1)
-    ta = jnp.take_along_axis(tmpl_allele, pc, axis=1)
-    oa = jnp.take_along_axis(other_allele, pc, axis=1)
-    ok = (pos >= 0) & (pos < t_len)
-    val = jnp.where(ok & (base == ta), 1,
-                    jnp.where(ok & (base == oa), -1, 0))
-    r = jnp.where(ok, jnp.clip(read_row, 0, n_reads - 1), n_reads)
-    votes = jnp.zeros((G, n_reads + 1), jnp.int32)
-    votes = votes.at[g, r].add(val)
-    return votes[:, :n_reads]
 
 
 @functools.partial(jax.jit, static_argnames=("n_reads", "n_sites", "t_len"))

@@ -169,19 +169,23 @@ def phase_blocks(score: np.ndarray, cov: np.ndarray, n_sites: int,
     block_id: -1 for singleton/unlinked sites; otherwise 0..n_blocks-1 in
     order of first site position.  orient[s]: 0 if site's b1 is block hap0.
     """
-    links = []
-    for s in range(n_sites):
-        for d in range(score.shape[1]):
-            sc = int(score[s, d])
-            cv = int(cov[s, d])
-            if s + d + 1 >= n_sites:
-                continue
-            if abs(sc) >= cfg.min_link and 2 * abs(sc) > cv:
-                links.append((-abs(sc), s, d + 1, 0 if sc > 0 else 1))
-    links.sort()
+    # vectorized link collection (same accept rule and same processing
+    # order (-|score|, s, d) as the original per-cell Python loop, which
+    # was O(n_sites * max_span) interpreter work — ~10 s/Mb-contig)
+    sc = np.asarray(score)
+    cv = np.asarray(cov)
+    s_grid = np.arange(n_sites)[:, None]
+    d_grid = np.arange(1, sc.shape[1] + 1)[None, :]
+    ok = ((s_grid + d_grid < n_sites)
+          & (np.abs(sc[:n_sites]) >= cfg.min_link)
+          & (2 * np.abs(sc[:n_sites]) > cv[:n_sites]))
+    ls, ld = np.nonzero(ok)
+    lsc = sc[ls, ld]
+    order = np.lexsort((ld, ls, -np.abs(lsc)))
     uf = _UnionFindParity(n_sites)
-    for _, s, d, rel in links:
-        uf.union(s, s + d, rel)
+    for i in order:
+        s, d = int(ls[i]), int(ld[i]) + 1
+        uf.union(s, s + d, 0 if lsc[i] > 0 else 1)
 
     roots = np.array([uf.find(s)[0] for s in range(n_sites)])
     orient = np.array([uf.parity_to_root(s) for s in range(n_sites)],

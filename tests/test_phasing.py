@@ -99,3 +99,52 @@ def test_phase_contigs_batched_matches_per_contig():
         assert np.array_equal(got.read_ids, ref.read_ids)
         assert np.array_equal(got.r_block, ref.r_block)
         assert np.array_equal(got.r_phase, ref.r_phase)
+
+
+def test_phase_long_contig_windowed_matches_per_contig():
+    """The long-contig path (windowed association + host pileup + sparse
+    votes) must match phase_contig_device bit-for-bit; thresholds are
+    forced tiny so a normal sim exercises every long-path branch."""
+    from falcon_unzip_tpu.models.phaser import phase_contigs_batched
+    from falcon_unzip_tpu.models.aligner import ReadToContigAligner
+    from falcon_unzip_tpu.seq import SeqBatch
+    from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
+
+    dip = make_diploid(length=24000, het_rate=0.02, seed=77,
+                       het_span=(0.05, 0.95))
+    rd = simulate_reads(dip, coverage=14.0, read_len=2500,
+                        error_rate=0.0, seed=78)
+    batch = SeqBatch.from_strs([rd.batch.to_str(i)
+                                for i in range(len(rd.batch))])
+    aln = ReadToContigAligner([dip.hap0]).align_batch(batch)
+    t_len = len(dip.hap0)
+    ref = phase_contig_device(aln, 0, t_len)
+    assert len(ref.het_pos) > 150, "sim must produce enough het sites"
+    # force: host pileup (host_tag_cap), long path (long_s), >2 windows
+    got = phase_contigs_batched(
+        aln, [0], [t_len], s_win=96, long_s=64, host_tag_cap=1)[0]
+    assert np.array_equal(got.het_pos, ref.het_pos)
+    assert np.array_equal(got.b1, ref.b1)
+    assert np.array_equal(got.b2, ref.b2)
+    assert np.array_equal(got.block_id, ref.block_id)
+    assert np.array_equal(got.orient, ref.orient)
+    assert np.array_equal(got.r_block, ref.r_block)
+    assert np.array_equal(got.r_phase, ref.r_phase)
+
+
+def test_het_call_host_matches_device():
+    from falcon_unzip_tpu.ops.pileup import (het_call_host, het_call_vec,
+                                             pileup_host, pileup_scatter)
+    rng = np.random.default_rng(5)
+    counts = rng.integers(0, 30, size=(4096, 5)).astype(np.int32)
+    kw = dict(min_depth=10, min_allele_count=2, allele_freq_min=0.25,
+              biallelic_frac=0.8)
+    ih_d, b1_d, b2_d = (np.asarray(x) for x in het_call_vec(counts, **kw))
+    ih_h, b1_h, b2_h = het_call_host(counts, **kw)
+    assert np.array_equal(ih_d, ih_h)
+    assert np.array_equal(b1_d, b1_h)
+    assert np.array_equal(b2_d, b2_h)
+    pos = rng.integers(-5, 1000, size=20000).astype(np.int32)
+    base = rng.integers(0, 5, size=20000).astype(np.int32)
+    assert np.array_equal(pileup_host(pos, base, 997),
+                          np.asarray(pileup_scatter(pos, base, t_len=997)))
