@@ -293,8 +293,12 @@ class ReadToContigAligner:
         # the relay (fetch LATENCY dominates, not kernel time); bigger
         # multiples OOM — the traceback consumes the (Dmax, P, W) int8
         # backpointer tensor, ~2.4 GB per 512 pairs at the 4096 bucket
-        chunk_pairs = cfg.batch_pairs * (2 if aligner.use_pallas else 1)
         for (bq, bt), jidx in sorted(buckets.items()):
+            # pinned per-bucket chunk on the Pallas path: one compiled
+            # kernel shape per bucket (ops.banded_align.pallas_chunk_pairs)
+            from ..ops.banded_align import pallas_chunk_pairs
+            chunk_pairs = (pallas_chunk_pairs(bq) if aligner.use_pallas
+                           else cfg.batch_pairs)
             for s in range(0, len(jidx), chunk_pairs):
                 chunk = jidx[s : s + chunk_pairs]
                 n_real = len(chunk)

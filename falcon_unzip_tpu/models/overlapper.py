@@ -230,12 +230,16 @@ class PreadOverlapper:
 
         # ---- chunked dispatch with vectorized packing ----------------
         pending = []  # (idx, n_real, handle)
-        chunk_pairs = cfg.batch_pairs * (2 if aligner.use_pallas else 1)
         tm["pack_s"] = 0.0
         tm["dispatch_s"] = 0.0
         bounds = np.nonzero(np.diff(key[order]))[0] + 1
+        from ..ops.banded_align import pallas_chunk_pairs
         for grp in np.split(order, bounds):
             gbq, gbt = int(bq[grp[0]]), int(bt[grp[0]])
+            # pinned per-bucket chunk on the Pallas path (one kernel
+            # shape per bucket — see ops.banded_align.pallas_chunk_pairs)
+            chunk_pairs = (pallas_chunk_pairs(gbq) if aligner.use_pallas
+                           else cfg.batch_pairs)
             for s in range(0, len(grp), chunk_pairs):
                 idx = grp[s : s + chunk_pairs]
                 n_real = len(idx)

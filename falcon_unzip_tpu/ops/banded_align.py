@@ -359,6 +359,17 @@ def anchor_trim(q: np.ndarray, t_win: np.ndarray, moves: np.ndarray,
 PALLAS_SHAPES: set = set()
 
 
+def pallas_chunk_pairs(bq: int) -> int:
+    """Pinned pair-batch per query bucket on the Pallas path.
+
+    One P per bucket = one compiled kernel shape per bucket (with the
+    pinned Dmax, see BandedAligner.dispatch).  512 pairs amortize the
+    dispatch/step cost at read-scale buckets; the long-query buckets
+    (placement/dedup chunks) cap at 64 so the (Dmax, P, W) backpointer
+    tensor stays within HBM."""
+    return 512 if bq <= 4096 else 64
+
+
 def _on_tpu() -> bool:
     import jax
     try:
@@ -413,15 +424,19 @@ class BandedAligner:
         P, Lq = q.shape
         Lt = t.shape[1]
         Dmax, lo = build_schedule(Lq, Lt, self.W)
-        # the DP runs Dmax antidiagonals, but cells past d = n + m are
-        # masked-inert padding: truncate to the chunk's true need,
-        # quantized to 1024 so the shape ladder stays sparse (band_lo
-        # depends only on (d, W), so the schedule prefix is unchanged).
-        # Buckets pad Lq ~2x past the content they carry, making this a
-        # ~1.4-1.8x cut of the DP + traceback steps per chunk.
-        need = int(np.max(np.asarray(n) + np.asarray(m))) + 1 if P else Dmax
-        Dmax = min(Dmax, -(-need // 1024) * 1024)
-        lo = lo[:Dmax]
+        if not self.use_pallas:
+            # the DP runs Dmax antidiagonals, but cells past d = n + m
+            # are masked-inert padding: truncate to the chunk's true
+            # need, quantized to 1024 (band_lo depends only on (d, W),
+            # so the schedule prefix is unchanged).  XLA-path only: on
+            # the Pallas path a data-dependent Dmax mints a NEW kernel
+            # shape per distinct chunk-max, and each distinct shape
+            # pays a serialized multi-minute server-side Mosaic compile
+            # — far more than the ~2x extra (masked) DP steps cost.
+            need = (int(np.max(np.asarray(n) + np.asarray(m))) + 1
+                    if P else Dmax)
+            Dmax = min(Dmax, -(-need // 1024) * 1024)
+            lo = lo[:Dmax]
         steps = Dmax - 1
         if self.use_pallas:
             res = self._pallas_call(q, t, n, m, Lq, Lt, Dmax)
@@ -494,12 +509,14 @@ class BandedAligner:
         P = q.shape[0]
         # bigger blocks amortize the per-antidiagonal step cost (measured:
         # 4x pairs cost ~1.1x wall at these shapes).  P pads up to the
-        # pow2 ladder (min 64) and PB = min(256, P): the compiled shape
-        # includes BOTH the block size and the grid count, and every
-        # distinct Pallas shape pays a serialized uncached server-side
-        # Mosaic compile on the tunneled TPU (measured: shape compiles
-        # dominate cold unzip wall-clock), so both stay on sparse ladders.
-        cap = 64
+        # PINNED per-bucket batch (pallas_chunk_pairs) so every chunk of
+        # a bucket — including a small first chunk — compiles ONE shape:
+        # the compiled shape includes BOTH the block size and the grid
+        # count, and every distinct Pallas shape pays a serialized
+        # multi-minute server-side Mosaic compile on the tunneled TPU
+        # (measured: shape compiles dominate cold wall-clock).  Above
+        # the pin (direct callers) fall back to the pow2 ladder.
+        cap = pallas_chunk_pairs(Lq)
         while cap < P:
             cap *= 2
         PB = min(256, cap)

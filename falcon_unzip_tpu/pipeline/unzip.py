@@ -270,7 +270,9 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
         phase_ops = ShardedPhaseOps(mesh) if mesh is not None else None
         if mesh is not None:
             logger.info("phasing over mesh %s", dict(mesh.shape))
+        import time as _time
         aln = get_aln()
+        _t0 = _time.perf_counter()
         my_ctgs = (np.nonzero(owners == my_host)[0] if multi
                    else np.arange(len(contigs)))
         if phase_ops is None:
@@ -286,6 +288,9 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
                                        len(contigs[int(ci)]), ph_cfg,
                                        phase_ops=phase_ops)
                    for ci in my_ctgs]
+        metrics.log("phasing_total",
+                    s=round(_time.perf_counter() - _t0, 2),
+                    n_ctgs=len(my_ctgs))
         phase_rows = []
         for ci, ph in zip(my_ctgs, phs):
             phase_rows.append(phased_reads_table(ph))

@@ -23,6 +23,9 @@ class Diploid:
     snp_alt: np.ndarray         # hap1 base at those positions
     indel_pos: np.ndarray = None  # het indel positions (hap0 coords)
     indel_len: np.ndarray = None  # +k insertion in hap1 / -k deletion
+    repeat_src: np.ndarray = None   # segmental-duplication source starts
+    repeat_dst: np.ndarray = None   # duplication destination starts
+    repeat_len: int = 0             # duplication length
 
 
 def random_genome(length: int, seed: int = 0) -> np.ndarray:
@@ -37,6 +40,9 @@ def make_diploid(
     het_span: tuple[float, float] | None = None,
     indel_frac: float = 0.0,
     max_indel: int = 3,
+    n_repeats: int = 0,
+    repeat_len: int = 3000,
+    repeat_identity: float = 0.97,
 ) -> Diploid:
     """Haplotype pair differing by SNPs (and optionally small indels).
 
@@ -45,9 +51,34 @@ def make_diploid(
     indel_frac: fraction of het events realized as 1..max_indel het
     INDELS instead of SNPs (hap1 inserts or deletes relative to hap0);
     0.0 keeps the SNP-only behavior (golden-stable default).
+    n_repeats: segmental duplications (VERDICT r3 next #8 realism) —
+    n_repeats source windows of repeat_len bases are copied to distant
+    loci at repeat_identity, HOMOZYGOUSLY (before het events), so reads
+    from either copy multi-map and challenge placement/bestn/chimer
+    logic the way real repeats do.  0 keeps the repeat-free
+    (golden-stable) behavior.
     """
     rng = np.random.default_rng(seed)
     hap0 = random_genome(length, seed)
+    rep_src = np.zeros(0, np.int64)
+    rep_dst = np.zeros(0, np.int64)
+    if n_repeats > 0 and length >= 4 * repeat_len:
+        # non-overlapping slots, shuffled: src and dst copies land far
+        # apart; the dst window is REPLACED (length preserved) by a
+        # mutated copy of the src window
+        n_slots = length // (2 * repeat_len)
+        slots = rng.permutation(n_slots)[: 2 * n_repeats]
+        starts = slots * (2 * repeat_len) + repeat_len // 2
+        rep_src = np.sort(starts[:n_repeats]).astype(np.int64)
+        rep_dst = np.sort(starts[n_repeats:]).astype(np.int64)
+        for s, t in zip(rep_src, rep_dst):
+            copy = hap0[s : s + repeat_len].copy()
+            n_mut = int(round((1.0 - repeat_identity) * repeat_len))
+            if n_mut:
+                mp = rng.choice(repeat_len, size=n_mut, replace=False)
+                copy[mp] = (copy[mp]
+                            + rng.integers(1, NBASE, size=n_mut)) % NBASE
+            hap0[t : t + repeat_len] = copy
     lo, hi = (0, length) if het_span is None else (
         int(length * het_span[0]), int(length * het_span[1]))
     n_het = int((hi - lo) * het_rate) if het_rate > 0 else 0
@@ -56,7 +87,9 @@ def make_diploid(
                        snp_pos=np.zeros(0, np.int64),
                        snp_alt=np.zeros(0, np.int8),
                        indel_pos=np.zeros(0, np.int64),
-                       indel_len=np.zeros(0, np.int64))
+                       indel_len=np.zeros(0, np.int64),
+                       repeat_src=rep_src, repeat_dst=rep_dst,
+                       repeat_len=repeat_len if len(rep_src) else 0)
     pos = lo + np.sort(rng.choice(hi - lo, size=n_het, replace=False))
     if indel_frac > 0:
         # events must not overlap a neighboring deletion's span
@@ -90,7 +123,9 @@ def make_diploid(
     return Diploid(hap0=hap0, hap1=hap1,
                    snp_pos=snp_p.astype(np.int64),
                    snp_alt=alt.astype(np.int8),
-                   indel_pos=ind_p.astype(np.int64), indel_len=ind_l)
+                   indel_pos=ind_p.astype(np.int64), indel_len=ind_l,
+                   repeat_src=rep_src, repeat_dst=rep_dst,
+                   repeat_len=repeat_len if len(rep_src) else 0)
 
 
 def mutate_read(read: np.ndarray, error_rate: float, rng) -> np.ndarray:
@@ -119,6 +154,7 @@ class SimReads:
     start: np.ndarray      # true start on its haplotype
     end: np.ndarray
     strand: np.ndarray = None   # 0 = forward, 1 = reverse-complement
+    chimera: np.ndarray = None  # 1 = chimeric junction read
 
 
 def simulate_reads(
@@ -128,25 +164,47 @@ def simulate_reads(
     error_rate: float = 0.0,
     seed: int = 1,
     rc_frac: float = 0.0,
+    chimera_frac: float = 0.0,
 ) -> SimReads:
     """Sample reads uniformly from both haplotypes.
 
     rc_frac: fraction of reads emitted reverse-complemented (0.0 keeps
     the forward-only, golden-stable behavior); the truth arrays record
     strand and forward-coordinate span.
+
+    chimera_frac: fraction of reads emitted as CHIMERAS — two segments
+    from unrelated loci fused at a junction (the blasr-era library
+    artifact the reference's chimer filter targets, SURVEY.md §3.1).
+    A chimeric read's truth span records its FIRST segment; the
+    ``chimera`` array marks it.  0.0 keeps golden-stable behavior.
     """
     from ..seq import revcomp
     rng = np.random.default_rng(seed)
     haps = [diploid.hap0, diploid.hap1]
     glen = len(diploid.hap0)
     n_reads = max(2, int(coverage * glen / read_len))
-    seqs, hap_ids, starts, ends, strands = [], [], [], [], []
+    seqs, hap_ids, starts, ends, strands, chim = [], [], [], [], [], []
     for i in range(n_reads):
         h = int(rng.integers(0, 2))
         hlen = len(haps[h])
         L = int(min(read_len * (0.7 + 0.6 * rng.random()), hlen))
         s = int(rng.integers(0, max(1, hlen - L + 1)))
-        raw = haps[h][s : s + L]
+        is_chim = chimera_frac > 0 and rng.random() < chimera_frac
+        if is_chim:
+            # first half from (h, s), second half from a random other
+            # locus (either haplotype, either orientation)
+            L1 = max(200, L // 2)
+            h2 = int(rng.integers(0, 2))
+            L2 = L - L1
+            s2 = int(rng.integers(0, max(1, len(haps[h2]) - L2 + 1)))
+            seg2 = haps[h2][s2 : s2 + L2]
+            if rng.random() < 0.5:
+                seg2 = revcomp(seg2)
+            raw = np.concatenate([haps[h][s : s + L1], seg2])
+            ends_i = s + L1
+        else:
+            raw = haps[h][s : s + L]
+            ends_i = s + L
         read = mutate_read(raw, error_rate, rng)
         st = 1 if (rc_frac > 0 and rng.random() < rc_frac) else 0
         if st:
@@ -154,9 +212,11 @@ def simulate_reads(
         seqs.append(read)
         hap_ids.append(h)
         starts.append(s)
-        ends.append(s + L)
+        ends.append(ends_i)
         strands.append(st)
+        chim.append(1 if is_chim else 0)
     names = [f"read/{i}/{hap_ids[i]}_{starts[i]}_{ends[i]}"
+             + ("_chim" if chim[i] else "")
              for i in range(n_reads)]
     return SimReads(
         batch=SeqBatch.from_strs(seqs, names=names),
@@ -164,4 +224,5 @@ def simulate_reads(
         start=np.array(starts, dtype=np.int64),
         end=np.array(ends, dtype=np.int64),
         strand=np.array(strands, dtype=np.int8),
+        chimera=np.array(chim, dtype=np.int8),
     )

@@ -107,33 +107,89 @@ def _truth_qv(cns_path: str, haps: list, chunk: int = 500):
     return round(float(np.mean(qvs)), 1), bd
 
 
+def contig_lengths(genome_bp: int, profile: str) -> list[int]:
+    """Per-contig lengths for a simulation profile.
+
+    uniform : historical shape — equal ~50 kb contigs (fast, but a toy
+              for a tool whose reference assembled multi-Mb contigs).
+    n50     : realistic FALCON-primary shape (VERDICT r3 next #2) — a
+              few contigs spanning ~half the genome down to ~5%, e.g.
+              10 Mb -> [5 Mb, 2 Mb, 1 Mb, 650 kb, 650 kb, 700 kb].
+    """
+    if profile == "n50":
+        fr = [0.5, 0.2, 0.1, 0.065, 0.065, 0.07]
+        lens = [int(genome_bp * f) for f in fr[:-1]]
+        return lens + [genome_bp - sum(lens)]
+    n_ctg = max(1, genome_bp // 50_000)
+    return [genome_bp // n_ctg] * n_ctg
+
+
+def _stage_metrics(out_dir: str) -> dict:
+    """Last metrics row per stage key from the run's metrics.jsonl."""
+    path = os.path.join(out_dir, "metrics.jsonl")
+    rows: dict = {}
+    try:
+        with open(path) as fh:
+            for line in fh:
+                r = json.loads(line)
+                k = r.pop("stage", None)
+                r.pop("ts", None)
+                if not k or k == "phasing":  # phasing is per-contig
+                    continue
+                while k in rows:             # unzip + quiver both log
+                    k += "+"                 # align_compute etc.
+                rows[k] = r
+    except OSError:
+        pass
+    return rows
+
+
 def main():
     genome_bp = int(sys.argv[1]) if len(sys.argv) > 1 else 150_000
     coverage = float(sys.argv[2]) if len(sys.argv) > 2 else 14.0
+    profile = sys.argv[3] if len(sys.argv) > 3 else \
+        os.environ.get("E2E_PROFILE", "uniform")
 
     from falcon_unzip_tpu.config import PipelineConfig
     from falcon_unzip_tpu.io.fasta import write_fasta
     from falcon_unzip_tpu.pipeline.quiver import run_quiver
     from falcon_unzip_tpu.pipeline.unzip import run_unzip
     from falcon_unzip_tpu.seq import decode
+    from falcon_unzip_tpu.utils import simulate as sim_mod
     from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
 
-    d = f"/tmp/e2e_bench_{genome_bp}"
+    d = f"/tmp/e2e_bench_{genome_bp}" + (f"_{profile}"
+                                         if profile != "uniform" else "")
+    # sim identity: params + simulator source hash; a keep-dir whose
+    # fingerprint mismatches is discarded instead of silently scoring
+    # truth QV against the wrong haplotypes (ADVICE r3)
+    import hashlib
+    sim_src = hashlib.sha256(
+        open(sim_mod.__file__, "rb").read()).hexdigest()[:16]
+    fp = {"genome_bp": genome_bp, "coverage": coverage,
+          "profile": profile, "sim_src": sim_src, "v": 2}
+    fp_path = f"{d}/sim_params.json"
     # E2E_KEEP=1: reuse an existing scratch dir — the sim is re-derived
     # (seeded, for truth QV) but input files are not rewritten, so the
     # drivers' Stage markers resume completed stages (mtime-fingerprint
     # semantics).  Interrupted big runs continue instead of restarting.
     keep = bool(os.environ.get("E2E_KEEP")) and os.path.isdir(d)
+    if keep:
+        try:
+            keep = json.load(open(fp_path)) == fp
+        except (OSError, ValueError):
+            keep = False
     if not keep:
         shutil.rmtree(d, ignore_errors=True)
         os.makedirs(d)
-    n_ctg = max(1, genome_bp // 50_000)
-    per = genome_bp // n_ctg
+        json.dump(fp, open(fp_path, "w"))
+    lens = contig_lengths(genome_bp, profile)
+    n_ctg = len(lens)
 
     t0 = time.perf_counter()
     pread_names, pread_seqs, raw_names, raw_seqs, drafts = [], [], [], [], []
     true_haps = []
-    for ci in range(n_ctg):
+    for ci, per in enumerate(lens):
         dip = make_diploid(length=per, het_rate=0.012, seed=100 + ci,
                            het_span=(0.2, 0.8))
         true_haps += [dip.hap0, dip.hap1]
@@ -171,7 +227,10 @@ def main():
         "metric": "e2e_unzip_polish_wall_s",
         "genome_bp": genome_bp,
         "n_contigs": n_ctg,
+        "profile": profile,
+        "contig_lens": lens if n_ctg <= 16 else None,
         "coverage": coverage,
+        "stage_metrics": _stage_metrics(f"{d}/out"),
         "platform": jax.devices()[0].platform,
         "sim_s": round(sim_s, 1),
         "unzip_s": round(unzip_s, 1),

@@ -134,3 +134,86 @@ def test_three_arm_branch_resolves():
     for h in res.h_ctg:
         assert len(h.seq) > 0
         assert h.primary == res.p_ctg[0][0]
+
+
+def test_repeat_multimapping_places_true_locus():
+    """Segmental duplications (95-99% identity) multi-map reads; the
+    bestn/identity tie-break must still pick the true copy, and the
+    max_hits_per_read > 1 path must surface the secondary hit
+    (VERDICT r3 next #8; [U] blasr multi-placement, SURVEY.md §2b)."""
+    from falcon_unzip_tpu.models.aligner import AlignerConfig
+    dip = make_diploid(length=60000, het_rate=0.0, seed=911,
+                       n_repeats=2, repeat_len=3000,
+                       repeat_identity=0.97)
+    assert len(dip.repeat_src) == 2
+    rd = simulate_reads(dip, coverage=10.0, read_len=2500,
+                        error_rate=0.0, seed=912)
+    al = ReadToContigAligner([dip.hap0],
+                             AlignerConfig(max_hits_per_read=4))
+    aln = al.align_batch(rd.batch)
+    # best record per read (min dist, ties -> first in canonical order)
+    best = {}
+    for a in range(len(aln)):
+        r = int(aln.read_id[a])
+        if r not in best or aln.dist[a] < aln.dist[best[r]]:
+            best[r] = a
+    n_multi = sum(1 for r in set(aln.read_id)
+                  if (aln.read_id == r).sum() > 1)
+    assert n_multi > 0, "repeat reads must surface secondary hits"
+    ok = 0
+    for r, a in best.items():
+        true_s = int(rd.start[r])
+        if abs(int(aln.t_start[a]) - true_s) < 300:
+            ok += 1
+    assert ok >= 0.95 * len(best), (ok, len(best))
+
+
+def test_chimeric_reads_align_single_segment():
+    """A chimeric read must align ONE segment (junction clipped by
+    anchor trimming), not smear across the junction."""
+    dip = make_diploid(length=40000, het_rate=0.0, seed=921)
+    rd = simulate_reads(dip, coverage=6.0, read_len=3000,
+                        error_rate=0.0, seed=922, chimera_frac=1.0)
+    assert rd.chimera.all()
+    aln = ReadToContigAligner([dip.hap0]).align_batch(rd.batch)
+    assert len(aln) > 0
+    ident = aln.identity()
+    clean = 0
+    for a in range(len(aln)):
+        r = int(aln.read_id[a])
+        L = int(rd.batch.lengths[r])
+        t_span = int(aln.t_end[a] - aln.t_start[a])
+        if t_span <= 0.8 * L + 300 and ident[a] >= 0.95:
+            clean += 1
+    # rare exceptions are legitimate: a fusion whose second segment is
+    # accidentally colinear with the first aligns full-length, and an
+    # accidental anchor can keep a short smear past the junction
+    # (identity still above the filter floor); the bulk must be clean
+    assert clean >= 0.85 * len(aln), (clean, len(aln))
+
+
+def test_repeat_phasing_stays_correct():
+    """Het phasing on a repeat-bearing diploid: phased reads must still
+    match their true haplotype (repeat-induced mismapping would mix
+    phases)."""
+    dip = make_diploid(length=60000, het_rate=0.015, seed=931,
+                       het_span=(0.05, 0.95), n_repeats=2,
+                       repeat_len=3000, repeat_identity=0.97)
+    rd = simulate_reads(dip, coverage=14.0, read_len=2500,
+                        error_rate=0.0, seed=932)
+    al = ReadToContigAligner([dip.hap0])
+    aln = al.align_batch(rd.batch)
+    ph = phase_contig_device(aln, 0, len(dip.hap0))
+    phased = ph.r_block >= 0
+    assert phased.sum() >= 0.5 * len(ph.read_ids)
+    # within each (block, phase) group, reads must be hap-pure
+    ok = tot = 0
+    for b in np.unique(ph.r_block[phased]):
+        for s in (0, 1):
+            sel = phased & (ph.r_block == b) & (ph.r_phase == s)
+            if sel.sum() < 2:
+                continue
+            haps = rd.hap[ph.read_ids[sel]]
+            tot += len(haps)
+            ok += max((haps == 0).sum(), (haps == 1).sum())
+    assert tot > 0 and ok >= 0.97 * tot, (ok, tot)
