@@ -333,8 +333,25 @@ def anchor_trim(q: np.ndarray, t_win: np.ndarray, moves: np.ndarray,
     tj = np.clip(j, 0, max(len(t_win) - 1, 0))
     diag_eq = ((mv == MOVE_DIAG) & (q[qi] == t_win[tj]) & (q[qi] < 4)
                & (j >= 0) & (j < len(t_win)))
+    # local-alignment end trim (Kadane on the move path, match +1 /
+    # edit -2): an edit-distance DP has no match bonus, so a chimeric
+    # junction or long garbage tail rides the min-cost path at ~50%
+    # matches and an accidental k-run can anchor it — the max-score
+    # subpath drops any tail that is net noise while a 3%-error read
+    # (expected +0.91/move) keeps its full span.  First-optimal ties.
+    sc = np.where(diag_eq, 1, -2).astype(np.int64)
+    pre = np.concatenate([[0], np.cumsum(sc)])          # (L+1,)
+    run_min = np.minimum.accumulate(pre[:-1])           # min prefix < j
+    gain = pre[1:] - run_min
+    hi_k = int(np.argmax(gain))                         # subpath end
+    if gain[hi_k] <= 0:
+        return None
+    lo_k = int(np.nonzero(pre[: hi_k + 1] == run_min[hi_k])[0][0])
+    win_ok = np.zeros(L, bool)
+    win_ok[lo_k : hi_k + 1] = True
     c = np.concatenate([[0], np.cumsum(diag_eq.astype(np.int32))])
     ok = (c[k:] - c[:-k]) == k          # ok[s]: moves[s : s+k] all match
+    ok &= win_ok[:L - k + 1] & win_ok[k - 1:]   # runs inside the subpath
     idx = np.nonzero(ok)[0]
     if len(idx) == 0:
         return None
