@@ -80,6 +80,9 @@ class OverlapperConfig:
     max_hits: int = 128
     band: int = 256
     min_anchors: int = 4
+    min_span: int = 100         # min q-spread of a candidate's anchors
+                                # (kills single-accidental-match junk
+                                # pairs — see kmer_index.chain_best_per_pair)
     min_overlap: int = 500      # minimum overlap length
     min_identity: float = 0.70
     end_fuzz: int = 60          # tolerance for dovetail/containment calls
@@ -154,7 +157,8 @@ class PreadOverlapper:
                 # window and corrupts overlap ends)
                 a_l, bs, t_los = chain_best_per_pair(
                     rid[keep], q_pos[keep], t_pos[keep], t_ctg[keep],
-                    n_targets=n, min_anchors=cfg.min_anchors)
+                    n_targets=n, min_anchors=cfg.min_anchors,
+                    min_span=cfg.min_span)
                 cols["a"].append(np.asarray(a_l, np.int64) + a0)
                 cols["b"].append(np.asarray(bs, np.int64))
                 cols["s"].append(np.full(len(a_l), strand, np.int8))

@@ -234,16 +234,20 @@ def _group_chunks(keys: list[tuple], per_bytes, cap_bytes: int):
 
 def _batched_pileup_het(prep: list[dict], cfg: PhasingConfig,
                         cap_bytes: int = 1 << 30,
-                        host_tag_cap: int = 1 << 25) -> None:
-    """Fill per-contig het_pos/b1/b2 via grouped pileup+het programs.
+                        host_tag_cap: int = 0) -> None:
+    """Fill per-contig het_pos/b1/b2.
 
-    Contigs with more than host_tag_cap flat tags run the pileup + het
-    predicate on HOST (ops.pileup.pileup_host / het_call_host — shipping
-    hundreds of MB of tag arrays through the device relay costs more
-    than the bincount; results are bit-identical, tested)."""
+    Default: HOST pileup + het predicate (ops.pileup.pileup_host /
+    het_call_host, bit-identical to the device ops — tested).  The raw
+    tag arrays live on host and outweigh the (t_len, 5) counts ~100x;
+    shipping them to a device to bincount is transfer-bound on any
+    fabric and pathological through the TPU relay (measured: ~70 s of
+    the 10 Mb run per pileup pass, ~5 s on host).  Contigs with at most
+    host_tag_cap tags still use the grouped DEVICE batch (tests and
+    device-resident futures set it high)."""
     keys, dev = [], []
     for k, p in enumerate(prep):
-        if len(p["pos"]) > host_tag_cap:
+        if len(p["pos"]) > host_tag_cap or not len(p["pos"]):
             counts = pileup_host(p["pos"], p["base"], p["t_len"])
             is_het, b1a, b2a = het_call_host(
                 counts, min_depth=cfg.min_depth,
@@ -348,7 +352,7 @@ def phase_contigs_batched(aln: AlnSet, ctg_ids, t_lens,
                           cfg: PhasingConfig | None = None,
                           cap_bytes: int = 1 << 30,
                           s_win: int = 2048, long_s: int = 3072,
-                          host_tag_cap: int = 1 << 25
+                          host_tag_cap: int = 0
                           ) -> list[ContigPhasing]:
     """Phase MANY contigs with grouped batched device programs.
 

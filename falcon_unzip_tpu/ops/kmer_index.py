@@ -342,7 +342,8 @@ def seed_batch(index: "KmerIndex", seqs: list[np.ndarray], *,
 
 
 def chain_best_per_pair(read_id, q_pos, t_pos, t_ctg, n_targets: int, *,
-                        bin_width: int = 64, min_anchors: int = 4):
+                        bin_width: int = 64, min_anchors: int = 4,
+                        min_span: int = 0):
     """Best diagonal bin per (read, target) pair over a flat anchor batch.
 
     The (read, target)-pair generalization of chain_best_per_target:
@@ -350,6 +351,15 @@ def chain_best_per_pair(read_id, q_pos, t_pos, t_ctg, n_targets: int, *,
     Returns (read_ids, target_ids, t_lo) arrays.  Keys use
     pair_id * 2^32 + bin, so read_id * n_targets must stay below 2^31
     (callers block the read axis for larger batches).
+
+    min_span: minimum q_pos SPREAD of the winning bin's anchors.  A
+    single random ~(k+3)-mer exact match between unrelated reads emits
+    min_anchors CONSECUTIVE anchors on one diagonal — at 10 Mb scale
+    such coincidences produced 5.6x more candidates than true overlaps
+    and dominated the overlap stage's pack/upload/DP cost.  Real
+    overlaps carry anchors spread across hundreds of bases; requiring a
+    spread kills the quadratic junk without losing sensitivity (0
+    disables).
     """
     if len(q_pos) == 0:
         z = np.zeros(0, np.int64)
@@ -374,5 +384,18 @@ def chain_best_per_pair(read_id, q_pos, t_pos, t_ctg, n_targets: int, *,
     first = np.unique(pair_of, return_index=True)[1]
     win = order[first]
     win = win[merged[win] >= min_anchors]
+    if min_span > 0 and len(win):
+        qmin = np.full(len(uniq), np.iinfo(np.int64).max, np.int64)
+        qmax = np.full(len(uniq), np.iinfo(np.int64).min, np.int64)
+        q64 = q_pos.astype(np.int64)
+        np.minimum.at(qmin, inv, q64)
+        np.maximum.at(qmax, inv, q64)
+        # spread over the merged neighborhood (own bin + adjacent)
+        qmin_m, qmax_m = qmin.copy(), qmax.copy()
+        np.minimum.at(qmin_m, np.nonzero(nb)[0], qmin[1:][nb])
+        np.minimum.at(qmin_m, np.nonzero(nb)[0] + 1, qmin[:-1][nb])
+        np.maximum.at(qmax_m, np.nonzero(nb)[0], qmax[1:][nb])
+        np.maximum.at(qmax_m, np.nonzero(nb)[0] + 1, qmax[:-1][nb])
+        win = win[qmax_m[win] - qmin_m[win] >= min_span]
     pair_w = uniq[win] >> 32
     return pair_w // n_targets, pair_w % n_targets, bin_min_diag[win]

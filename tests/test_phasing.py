@@ -88,9 +88,15 @@ def test_phase_contigs_batched_matches_per_contig():
     aln = ReadToContigAligner(contigs).align_batch(batch)
     t_lens = [len(c) for c in contigs]
     batched = phase_contigs_batched(aln, range(3), t_lens)
+    # device-batched pileup path (host_tag_cap high) must agree too
+    batched_dev = phase_contigs_batched(aln, range(3), t_lens,
+                                        host_tag_cap=1 << 40)
     for ci in range(3):
         ref = phase_contig_device(aln, ci, t_lens[ci])
         got = batched[ci]
+        dev = batched_dev[ci]
+        assert np.array_equal(dev.het_pos, ref.het_pos)
+        assert np.array_equal(dev.r_block, ref.r_block)
         assert np.array_equal(got.het_pos, ref.het_pos)
         assert np.array_equal(got.b1, ref.b1)
         assert np.array_equal(got.b2, ref.b2)
