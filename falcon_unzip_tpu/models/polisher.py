@@ -594,7 +594,7 @@ class Polisher:
         pieces = [st.cns for st in states]
         qvs = []
         for st in states:
-            q = _qv_from_votes(st.votes, st.cns)
+            q = _qv_from_votes(st.votes, st.cns, self.cfg.min_cov)
             # likelihood-margin overrides at mutation-tested columns
             for p, v in zip(st.qv_pos, st.qv_val):
                 if 0 <= p < len(q):
@@ -636,26 +636,74 @@ QV_CAP = 50     # calibrated systematic-error floor (phred): residual
                 # (likelihood-margin overrides may exceed it)
 
 
-def _qv_from_votes(votes: np.ndarray, cns: np.ndarray) -> np.ndarray:
+_QV_TABLE = None
+_QV_TABLE_N = 60
+
+
+def _qv_table() -> np.ndarray:
+    """Exact consensus-error phred per (coverage n, losing votes w).
+
+    eps = (w + 0.25) / (n + 24.25): per-read column error rate under a
+    Beta(0.25, 24) prior (mean ~1%; fitted on the 1 Mb reliability run
+    — the 3% first guess left every bin ~12 phred pessimistic against
+    observed errors, scripts/qv_calibrate.py).  The consensus is wrong
+    when at least half the reads mis-vote: P_err = exact binomial tail
+    P[Binom(n, eps) >= ceil(n/2)] — the Chernoff bound used first was
+    ~6 phred loose at the n ~ 5-9 coverages phase routing leaves in
+    het regions."""
+    global _QV_TABLE
+    if _QV_TABLE is None:
+        N = _QV_TABLE_N
+        from math import lgamma
+        n_ = np.arange(N + 1, dtype=np.float64)[:, None]
+        k_ = np.arange(N + 1, dtype=np.float64)[None, :]
+        lg = np.vectorize(lgamma)
+        lbin = lg(n_ + 1) - lg(np.maximum(k_, 0) + 1) \
+            - lg(np.maximum(n_ - k_, 0) + 1)
+        tab = np.zeros((N + 1, N + 1), np.int8)
+        for n in range(N + 1):
+            for w in range(n + 1):
+                eps = (w + 0.25) / (n + 24.25)
+                k = np.arange((n + 1) // 2, n + 1, dtype=np.float64)
+                if len(k) == 0 or n == 0:
+                    tab[n, w] = 2
+                    continue
+                logp = (lbin[n, k.astype(int)] + k * np.log(eps)
+                        + (n - k) * np.log1p(-eps))
+                p = float(np.exp(logp).sum())
+                tab[n, w] = int(np.clip(
+                    -10.0 * np.log10(max(p, 1e-9)), 2, QV_CAP))
+        _QV_TABLE = tab
+    return _QV_TABLE
+
+
+QV_TEMPLATE = 40    # columns below min_cov keep the TEMPLATE base,
+                    # whose error rate is the unzip consensus quality —
+                    # measured 6.9e-5 (QV ~41.6) on the 1 Mb
+                    # reliability run, floored conservatively
+
+
+def _qv_from_votes(votes: np.ndarray, cns: np.ndarray,
+                   min_cov: int = 3) -> np.ndarray:
     """Per-base phred quality from a consensus-error model.
 
-    The plurality column is wrong only if >= half its reads mis-voted:
-    with per-read column error rate eps (estimated from the losing vote
-    fraction), the Chernoff bound gives P_err <= exp(-n * D(1/2 || eps))
-    — phred q = 4.343 * n * D.  The previous emitter reported the
-    PER-READ error rate (-10 log10(1-frac)) as if it were the consensus
-    error, overstating total predicted errors ~800x against simulated
-    truth (VERDICT r3 weak #4; measured by scripts/qv_calibrate.py).
-    Capped at QV_CAP (see above); coordinate shifts from indels are
-    second-order for QV reporting."""
+    Exact binomial majority-wrong probability per column (see
+    _qv_table); columns below min_cov emit the template base and get
+    the measured template floor instead of a coin-flip score.  The
+    round-3 emitter reported the PER-READ error rate
+    (-10 log10(1-frac)) as if it were the consensus error, overstating
+    total predicted errors ~800x against simulated truth (VERDICT r3
+    weak #4; measured by scripts/qv_calibrate.py).  Capped at QV_CAP;
+    coordinate shifts from indels are second-order for QV reporting."""
     d0 = votes[:, 0, :]
     tot = d0.sum(axis=1)
     win = d0.max(axis=1)
-    frac = np.where(tot > 0, win / np.maximum(tot, 1), 0.0)
-    eps = np.clip(1.0 - frac, 1.0 / (tot + 2.0), 0.5)
-    D = 0.5 * np.log(0.5 / eps) + 0.5 * np.log(0.5 / (1.0 - eps))
-    q_binom = 10.0 / np.log(10.0) * tot * np.maximum(D, 0.0)
-    q = np.clip(q_binom, 2, QV_CAP).astype(np.int8)
+    n = np.clip(tot, 0, _QV_TABLE_N)
+    w = np.clip(tot - win, 0, _QV_TABLE_N)
+    # coverage beyond the table caps at the table edge (already QV_CAP)
+    w = np.minimum(w, n)
+    q = _qv_table()[n, w]
+    q = np.where(tot < min_cov, np.int8(QV_TEMPLATE), q)
     if len(q) >= len(cns):
         return q[: len(cns)]
     return np.pad(q, (0, len(cns) - len(q)), constant_values=20)
