@@ -75,6 +75,11 @@ class PolishCfg:
     window: int = 384
     overlap: int = 64
     min_cov: int = 3
+    del_min_cov: int = 5  # GAP must carry at least this much coverage
+                          # to delete a template base: correlated read
+                          # deletions (homopolymer contexts) winning
+                          # 2-vs-1 votes in low-coverage pockets were
+                          # the dominant residual-error mode at 1 Mb
     arrow_rounds: int = 12       # max rounds; windows stop at convergence
     arrow_candidates: int = 4    # low-margin columns tested per round
                                  # (queue chunk size; full queue cycles)

@@ -549,7 +549,8 @@ def template_route_votes(aln: AlnSet, ctg_ids, t_lens, templates,
     that sit on het sites — after the device het call there is nothing
     left worth shipping through the relay.
 
-    Returns a list of (rec_idx, votes) per contig, aligned with ctg_ids.
+    Returns a list of (rec_idx, votes, het_pos) per contig, aligned
+    with ctg_ids.
     """
     cfg = cfg or PhasingConfig()
     prep = [_prep_contig(aln, int(ci), int(tl))
@@ -574,5 +575,5 @@ def template_route_votes(aln: AlnSet, ctg_ids, t_lens, templates,
             val = np.where(hbase == tmpl_a[site], 1,
                            np.where(hbase == other_a[site], -1, 0))
             np.add.at(votes, hrow, val)
-        out.append((p["rec_idx"], votes))
+        out.append((p["rec_idx"], votes, p["het_pos"]))
     return out

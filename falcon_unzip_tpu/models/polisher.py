@@ -38,6 +38,19 @@ class PolisherConfig:
     overlap: int = 64            # window overlap for stitching
     splice_k: int = 21           # k-mer for overlap splicing
     min_cov: int = 3             # below this, keep template bases
+    del_min_cov: int = 5         # a GAP plurality below this coverage
+                                 # keeps the template base instead of
+                                 # deleting: read deletions are the
+                                 # CORRELATED error mode (homopolymer
+                                 # contexts align identically), so two
+                                 # of them out-vote one correct read in
+                                 # the low-coverage pockets left where
+                                 # raw reads split between a primary
+                                 # and its haplotig — measured as the
+                                 # dominant residual error at 1 Mb.
+                                 # Substitution/insertion pluralities
+                                 # need two IDENTICAL wrong bases and
+                                 # stay trusted at min_cov.
     arrow_rounds: int = 12       # max mutation rounds (0 = vote only);
                                  # windows stop early at convergence
     arrow_candidates: int = 4    # low-margin columns tested per round
@@ -197,8 +210,9 @@ class Polisher:
     # -- window consensus --------------------------------------------------
 
     def _vote_consensus(self, votes, template_win):
-        cns, cov, cns_of_t = consensus_with_map(votes, template_win,
-                                                min_cov=self.cfg.min_cov)
+        cns, cov, cns_of_t = consensus_with_map(
+            votes, template_win, min_cov=self.cfg.min_cov,
+            del_min_cov=self.cfg.del_min_cov)
         cfg = self.cfg
         if cfg.het_skip_frac > 0 and len(cns):
             # balanced-biallelic columns are residual het mixtures
@@ -285,7 +299,9 @@ class Polisher:
     # -- contig polish -----------------------------------------------------
 
     def _prep_windows(self, template: np.ndarray, aln: AlnSet,
-                      ctg_id: int) -> list["_WinState"]:
+                      ctg_id: int,
+                      seg_exclude: np.ndarray | None = None
+                      ) -> list["_WinState"]:
         """Vote consensus + read segments for every window of a contig.
 
         The contig-wide vote tensor is scatter-added ONCE and sliced per
@@ -340,6 +356,11 @@ class Polisher:
             # tmax == t_end - 1 for records starting/ending on matches)
             cand = np.nonzero((rec_start < hi) & (rec_end > lo))[0]
             for local in cand:
+                if (seg_exclude is not None
+                        and seg_exclude[rec_idx[local]]):
+                    # phase-masked record: votes only (het columns
+                    # already stripped), no Arrow segment
+                    continue
                 tags = aln.tags[rec_idx[local]]
                 if tags is None or len(tags) == 0:
                     continue
@@ -610,16 +631,19 @@ class Polisher:
         return self._stitch_contig(name, states)
 
     def polish_all(self, contigs: list[tuple[str, np.ndarray]],
-                   aln: AlnSet, ids: list[int] | None = None
+                   aln: AlnSet, ids: list[int] | None = None,
+                   seg_exclude: np.ndarray | None = None
                    ) -> list[PolishedContig]:
         """Polish every contig with refinement batched across ALL windows
         of ALL contigs (one scoring batch per round, chunked).
 
         ids: explicit AlnSet contig ids for each entry (the contig-owner
-        dataflow polishes a SUBSET of global contigs; default = position)."""
+        dataflow polishes a SUBSET of global contigs; default = position).
+        seg_exclude: optional per-record bool — record votes but sits
+        out Arrow segment scoring (phase-masked opposite-phase reads)."""
         if ids is None:
             ids = list(range(len(contigs)))
-        per_ctg = [self._prep_windows(seq, aln, ci)
+        per_ctg = [self._prep_windows(seq, aln, ci, seg_exclude)
                    for ci, (_nm, seq) in zip(ids, contigs)]
         flat = [st for states in per_ctg for st in states]
         self._refine_windows(flat)
@@ -627,13 +651,14 @@ class Polisher:
                 for (nm, _), states in zip(contigs, per_ctg)]
 
 
-QV_CAP = 50     # calibrated systematic-error floor (phred): residual
+QV_CAP = 54     # calibrated systematic-error floor (phred): residual
                 # consensus errors (splice joins, correlated read errors,
                 # het routing misses) are invisible to column vote counts;
+                # after the low-coverage deletion/weak-plurality guards
                 # the 1 Mb reliability run (scripts/qv_calibrate.py)
-                # measured their rate at ~3e-5/base, so no column should
-                # claim better than ~QV 50 on vote evidence alone
-                # (likelihood-margin overrides may exceed it)
+                # observes ZERO errors above emitted QV 50 (>= QV 56 at
+                # the sample size), so vote evidence alone may claim up
+                # to 54 (likelihood-margin overrides may exceed it)
 
 
 _QV_TABLE = None
@@ -643,10 +668,11 @@ _QV_TABLE_N = 60
 def _qv_table() -> np.ndarray:
     """Exact consensus-error phred per (coverage n, losing votes w).
 
-    eps = (w + 0.25) / (n + 24.25): per-read column error rate under a
-    Beta(0.25, 24) prior (mean ~1%; fitted on the 1 Mb reliability run
-    — the 3% first guess left every bin ~12 phred pessimistic against
-    observed errors, scripts/qv_calibrate.py).  The consensus is wrong
+    eps = (w + 0.15) / (n + 30.15): per-read column error rate under a
+    Beta(0.15, 30) prior (mean ~0.5%; refitted on the 1 Mb reliability
+    run AFTER the deletion/weak-plurality guards — consensus got ~8
+    phred better and the earlier 1% prior left every bin 7-15 phred
+    pessimistic, scripts/qv_calibrate.py).  The consensus is wrong
     when at least half the reads mis-vote: P_err = exact binomial tail
     P[Binom(n, eps) >= ceil(n/2)] — the Chernoff bound used first was
     ~6 phred loose at the n ~ 5-9 coverages phase routing leaves in
@@ -663,7 +689,7 @@ def _qv_table() -> np.ndarray:
         tab = np.zeros((N + 1, N + 1), np.int8)
         for n in range(N + 1):
             for w in range(n + 1):
-                eps = (w + 0.25) / (n + 24.25)
+                eps = (w + 0.15) / (n + 30.15)
                 k = np.arange((n + 1) // 2, n + 1, dtype=np.float64)
                 if len(k) == 0 or n == 0:
                     tab[n, w] = 2

@@ -28,11 +28,17 @@ from ..oracle.align import GAP
 from ..oracle.consensus import MAX_DELTA
 
 
-def _masks(xp, votes, template, min_cov: int):
+def _masks(xp, votes, template, min_cov: int, del_min_cov: int = 0):
     """Shared numpy/jnp emit-grid computation.
 
     votes: (t_len, D, 5) int32.  Returns (emit bool, base, cov) each
     (t_len, D) in emission order along axis 1 (delta 0 first).
+
+    del_min_cov: with a template, a GAP plurality below this coverage
+    RESTORES the template base instead of deleting (correlated read
+    deletions win narrow votes in low-coverage pockets; see
+    models.polisher.PolisherConfig.del_min_cov).  0 = off (the oracle
+    semantics).
     """
     t_len, D, _ = votes.shape
     d0 = votes[:, 0, :]
@@ -44,8 +50,17 @@ def _masks(xp, votes, template, min_cov: int):
     has_template = template is not None
     if has_template:
         tmpl = xp.asarray(template).astype(xp.int32)
-        emit0 = xp.where(lowcov, True, win != GAP)
-        base0 = xp.where(lowcov, tmpl, win).astype(xp.int32)
+        tmpl_ok = (tmpl >= 0) & (tmpl < 4)
+        del_guard = (win == GAP) & (cov < del_min_cov) & tmpl_ok
+        # weak-plurality guard (on whenever del_min_cov is): a winner
+        # carried by < 3 reads with ANY dissent is a coin flip between
+        # read errors; the template (itself a consensus) is the better
+        # prior.  Unanimous low-coverage columns still emit their vote.
+        sub_guard = ((del_min_cov > 0) & (win_cnt < 3)
+                     & (win_cnt < cov) & tmpl_ok & (win != GAP))
+        emit0 = xp.where(lowcov, True, (win != GAP) | del_guard)
+        base0 = xp.where(lowcov | del_guard | sub_guard,
+                         tmpl, win).astype(xp.int32)
     else:
         emit0 = xp.where(lowcov, False, win != GAP)
         base0 = win.astype(xp.int32)
@@ -106,7 +121,8 @@ def consensus_from_votes(votes, template=None, min_cov: int = 1):
     return compact_masks(emit, base, covs)
 
 
-def consensus_with_map(votes, template=None, min_cov: int = 1):
+def consensus_with_map(votes, template=None, min_cov: int = 1,
+                       del_min_cov: int = 0):
     """consensus_from_votes + exact template->consensus coordinate map.
 
     Returns (cns int8, cov int32, cns_of_t int32 (t_len,)) where
@@ -123,7 +139,7 @@ def consensus_with_map(votes, template=None, min_cov: int = 1):
     if votes.shape[0] == 0:
         return (np.zeros(0, np.int8), np.zeros(0, np.int32),
                 np.zeros(0, np.int32))
-    emit, base, covs = _masks(np, votes, template, min_cov)
+    emit, base, covs = _masks(np, votes, template, min_cov, del_min_cov)
     flat = emit.reshape(-1)
     cum = np.cumsum(flat)
     before = (cum.reshape(emit.shape)[:, 0]

@@ -157,7 +157,9 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
                                          make_pipeline_mesh)
         pcfg = PolisherConfig(
             window=cfg.polish.window, overlap=cfg.polish.overlap,
-            min_cov=cfg.polish.min_cov, arrow_rounds=cfg.polish.arrow_rounds,
+            min_cov=cfg.polish.min_cov,
+            del_min_cov=cfg.polish.del_min_cov,
+            arrow_rounds=cfg.polish.arrow_rounds,
             arrow_candidates=cfg.polish.arrow_candidates,
             arrow_min_cov=cfg.polish.arrow_min_cov,
             margin_frac=cfg.polish.margin_frac,
@@ -194,6 +196,7 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
               else np.arange(len(contigs)))
         import time as _time
         aln = get_aln()
+        seg_excl = None
         if cfg.polish.phase_aware:
             # phase-aware read routing (the [U] rr_hctg_track role done
             # at the pileup level): primaries are pseudo-haplotypes, so
@@ -206,20 +209,51 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
             # disagrees with the template's own alleles makes each
             # phase block polish to ONE consistent haplotype.
             _t0 = _time.perf_counter()
-            keep = _phase_route_mask(
-                aln, [int(i) for i in my if int(i) < n_primary],
-                [len(contigs[int(i)]) for i in my if int(i) < n_primary],
-                [contigs[int(i)] for i in my if int(i) < n_primary],
-                cfg)
-            n_drop = int((~keep).sum())
+            from ..models.phaser import template_route_votes
+            from ..oracle.phasing import PhasingConfig
+            ph_cfg = PhasingConfig(
+                min_depth=cfg.phase.min_depth,
+                min_allele_count=cfg.phase.min_allele_count,
+                allele_freq_min=cfg.phase.allele_freq_min,
+                biallelic_frac=cfg.phase.biallelic_frac,
+                max_span=cfg.phase.max_span, min_link=cfg.phase.min_link)
+            prim = [int(i) for i in my if int(i) < n_primary]
+            routed = template_route_votes(
+                aln, prim, [len(contigs[i]) for i in prim],
+                [contigs[i] for i in prim], ph_cfg)
+            # opposite-phase records are MASKED, not dropped: their
+            # votes at het columns (and +-1 neighbors) are stripped and
+            # they sit out Arrow segment scoring, but they still vote
+            # everywhere else.  Whole-read dropping halved coverage
+            # across entire het-span regions, and scripts/qv_attrib.py
+            # showed the residual interior errors clustering in het
+            # spans but NOT at het sites — i.e. plain low-coverage
+            # consensus errors, not phasing errors.
+            seg_excl = np.zeros(len(aln), bool)
+            n_drop = 0
+            for rec_idx, votes, het in routed:
+                bad = rec_idx[votes < 0]
+                n_drop += len(bad)
+                seg_excl[bad] = True
+                if not len(het) or not len(bad):
+                    continue
+                hs = np.sort(np.asarray(het))
+                for a in bad:
+                    t = aln.tags[a]
+                    if t is None or not len(t):
+                        continue
+                    j = np.searchsorted(hs, t[:, 0])
+                    near = (np.abs(hs[np.clip(j, 0, len(hs) - 1)]
+                                   - t[:, 0]) <= 1)
+                    near |= (np.abs(hs[np.clip(j - 1, 0, len(hs) - 1)]
+                                    - t[:, 0]) <= 1)
+                    aln.tags[a] = t[~near]
             metrics.log("polish_phase_route", n_dropped=n_drop,
                         s=round(_time.perf_counter() - _t0, 2))
-            if n_drop:
-                aln = aln.subset(keep)
         _t0 = _time.perf_counter()
         local_polished = polisher.polish_all(
             [(names[int(i)], contigs[int(i)]) for i in my], aln,
-            ids=[int(i) for i in my])
+            ids=[int(i) for i in my], seg_exclude=seg_excl)
         metrics.log("polish_windows",
                     s=round(_time.perf_counter() - _t0, 2))
         if multi:
@@ -292,8 +326,8 @@ def _phase_route_mask(aln, ctg_ids: list[int], t_lens: list[int],
         allele_freq_min=cfg.phase.allele_freq_min,
         biallelic_frac=cfg.phase.biallelic_frac,
         max_span=cfg.phase.max_span, min_link=cfg.phase.min_link)
-    for rec_idx, votes in template_route_votes(aln, ctg_ids, t_lens,
-                                               templates, ph_cfg):
+    for rec_idx, votes, _het in template_route_votes(
+            aln, ctg_ids, t_lens, templates, ph_cfg):
         keep[rec_idx[votes < 0]] = False
     return keep
 

@@ -88,7 +88,6 @@ def main():
                 hap = int(res.ctg[a])
                 tags = res.tags[a]
                 # error positions: chunk-local q coords of edits
-                errs = []
                 t0 = int(res.t_start[a])
                 hs = true_haps[hap]
                 # walk tags: mismatches where base != hap[t_pos];
@@ -97,18 +96,20 @@ def main():
                      (hs[np.clip(tags[:, 0], 0, len(hs) - 1)] != tags[:, 2])
                 dl = tags[:, 2] == 4
                 ins = tags[:, 1] > 0
-                for tp in np.concatenate([tags[mm, 0], tags[dl, 0],
-                                          tags[ins, 0]]):
-                    errs.append(int(tp))
+                errs = [(int(tp), k) for sel, k in
+                        ((mm, "sub"), (dl, "cns_missing_base"),
+                         (ins, "cns_extra_base"))
+                        for tp in tags[sel, 0]]
                 het = het_sets[hap]
-                for tp in errs:
+                for tp, ek in errs:
                     # chunk-local consensus offset (approx == t offset)
                     c_off = o + (tp - t0)
                     d_win = min(c_off % step, step - (c_off % step))
                     d_het = (int(np.min(np.abs(het - tp)))
                              if len(het) else -1)
                     rows.append({
-                        "kind": "err", "ctg": batch.names[ci],
+                        "kind": "err", "etype": ek,
+                        "ctg": batch.names[ci],
                         "cns_off": int(c_off), "hap": hap,
                         "dist_to_window_edge": int(d_win),
                         "dist_to_het": d_het,
@@ -118,9 +119,11 @@ def main():
     dw = np.array([r["dist_to_window_edge"] for r in errs])
     dh = np.array([r["dist_to_het"] for r in errs if r["dist_to_het"] >= 0])
     de = np.array([r["dist_to_ctg_end"] for r in errs])
+    from collections import Counter
     out = {
         "metric": "qv_attribution", "genome_bp": genome_bp,
         "profile": profile, "n_errors": len(errs),
+        "by_type": dict(Counter(r["etype"] for r in errs)),
         "near_window_edge_lt16": int((dw < 16).sum()),
         "near_het_lt8": int((dh < 8).sum()),
         "near_ctg_end_lt500": int((de < 500).sum()),
