@@ -33,8 +33,12 @@ import os, sys, time, json
 pid, nproc, port, per = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
                          int(sys.argv[4]))
 # pin each process to the SAME number of disjoint cores at every world
-# size (fair weak scaling: per-host resources constant as hosts grow)
-os.sched_setaffinity(0, set(range(pid * per, (pid + 1) * per)))
+# size (fair weak scaling: per-host resources constant as hosts grow);
+# when hosts exceed cores (N=4 on a 2-core box) pins wrap and hosts
+# SHARE cores — wall efficiency then measures oversubscription, and the
+# cpu-seconds efficiency is the meaningful number
+ncores = len(os.sched_getaffinity(0))
+os.sched_setaffinity(0, {(pid * per + i) % ncores for i in range(per)})
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=1").strip()
 import jax
@@ -76,7 +80,8 @@ _PIPE_WORKER = r"""
 import os, sys, time, json, resource
 pid, nproc, port, per, d = (int(sys.argv[1]), int(sys.argv[2]), sys.argv[3],
                             int(sys.argv[4]), sys.argv[5])
-os.sched_setaffinity(0, set(range(pid * per, (pid + 1) * per)))
+ncores = len(os.sched_getaffinity(0))
+os.sched_setaffinity(0, {(pid * per + i) % ncores for i in range(per)})
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=1").strip()
 import jax
@@ -214,8 +219,12 @@ def measure_virtual(n_devices: int, R_per_dev: int = 512, T: int = 64,
 
 def main():
     cores = len(os.sched_getaffinity(0))
-    plan = [n for n in (1, 2, 4) if n <= cores]
-    per = max(1, cores // max(plan))     # constant cores per "host"
+    # N=4 runs even on a 2-core box (pins wrap): its WALL efficiency is
+    # bounded by cores/N there, so the JSON also carries per-host
+    # cpu-seconds — flat cpu_s per host across N is the evidence that
+    # the distributed design adds no per-host work
+    plan = [1, 2, 4]
+    per = 1                              # constant cores per "host"
 
     # ---- full-pipeline weak scaling (the north-star pipeline number)
     genome_per_host = int(os.environ.get("SCALING_PIPE_BP", "80000"))
@@ -232,6 +241,15 @@ def main():
         pipe_out["scaling_efficiency"] = {
             str(n): round(pipe[1]["wall_s"] / v["wall_s"], 3)
             for n, v in pipe.items()}
+        # oversubscription-independent: per-host CPU seconds vs 1 host
+        # (weak scaling -> flat per-host work = 1.0)
+        c1 = pipe[1]["hosts"][0]["cpu_s"]
+        pipe_out["cpu_s_efficiency"] = {
+            str(n): round(c1 / (sum(h["cpu_s"] for h in v["hosts"])
+                                / len(v["hosts"])), 3)
+            for n, v in pipe.items()}
+        pipe_out["wall_bound_by_cores"] = {
+            str(n): min(1.0, cores / n) for n in pipe}
         # owner-sharding working-set check: host RSS at N=2 vs the
         # 1-host run over the same total genome would need a 2x input;
         # compare per-host cpu seconds instead (equal per-host load)
