@@ -214,6 +214,18 @@ class PreadOverlapper:
         t_hi = np.minimum(lb, b_lo + ov + pad)
         t_len = t_hi - t_lo
         nj = len(a)
+        if nj == 0:
+            # a host shard can legitimately see zero candidates
+            # (ADVICE r4: np.split on an empty order yielded one empty
+            # group and bq[grp[0]] crashed)
+            z32 = np.zeros(0, np.int32)
+            tm.update(pack_s=0.0, dispatch_s=0.0, fetch_s=0.0,
+                      emit_s=0.0, n_cands=0, n_overlaps=0)
+            self.timings = tm
+            return OverlapSet(
+                a_id=z32, b_id=z32, strand=np.zeros(0, np.int8),
+                a_start=z32, a_end=z32, b_start=z32, b_end=z32,
+                a_len=z32, b_len=z32, dist=z32)
 
         # ---- shape buckets (vectorized ladder, == scalar _q_bucket) --
         from .aligner import _gather_rows, _q_bucket_vec
@@ -239,6 +251,8 @@ class PreadOverlapper:
         bounds = np.nonzero(np.diff(key[order]))[0] + 1
         from ..ops.banded_align import pallas_chunk_pairs
         for grp in np.split(order, bounds):
+            if not len(grp):      # nj == 0: np.split yields one empty group
+                continue
             gbq, gbt = int(bq[grp[0]]), int(bt[grp[0]])
             # pinned per-bucket chunk on the Pallas path (one kernel
             # shape per bucket — see ops.banded_align.pallas_chunk_pairs)

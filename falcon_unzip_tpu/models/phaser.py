@@ -368,6 +368,12 @@ def phase_contigs_batched(aln: AlnSet, ctg_ids, t_lens,
     host instead of materializing the (records x sites) matrix.
     """
     cfg = cfg or PhasingConfig()
+    # Exact stitching needs the full association band inside a window;
+    # a stride <= 0 would loop forever on the long path (ADVICE r4).
+    if s_win <= cfg.max_span:
+        raise ValueError(
+            f"phase window s_win={s_win} must exceed "
+            f"cfg.max_span={cfg.max_span} for windowed phasing")
     prep = [_prep_contig(aln, int(ci), int(tl))
             for ci, tl in zip(ctg_ids, t_lens)]
     _batched_pileup_het(prep, cfg, cap_bytes, host_tag_cap)
@@ -390,7 +396,7 @@ def phase_contigs_batched(aln: AlnSet, ctg_ids, t_lens,
                 "het_local": p["het_pos"], "b1": p["b1"], "b2": p["b2"],
                 "Tb": p["Tb"], "R_rows": R})
         else:
-            stride = s_win - cfg.max_span
+            stride = s_win - cfg.max_span  # > 0: guarded at entry
             w_lo = 0
             while True:
                 w_hi = min(S, w_lo + s_win)

@@ -229,6 +229,12 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
             # showed the residual interior errors clustering in het
             # spans but NOT at het sites — i.e. plain low-coverage
             # consensus errors, not phasing errors.
+            # Mask on a shallow copy: the cached AlnSet from get_aln()
+            # is shared; in-place tag stripping would leak the one-shot
+            # routing into any later consumer (ADVICE r4).  Replaced
+            # entries are fresh arrays, so copying the list suffices.
+            import dataclasses as _dc
+            aln = _dc.replace(aln, tags=list(aln.tags))
             seg_excl = np.zeros(len(aln), bool)
             n_drop = 0
             for rec_idx, votes, het in routed:

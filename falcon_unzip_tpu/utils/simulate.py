@@ -189,11 +189,16 @@ def simulate_reads(
         hlen = len(haps[h])
         L = int(min(read_len * (0.7 + 0.6 * rng.random()), hlen))
         s = int(rng.integers(0, max(1, hlen - L + 1)))
-        is_chim = chimera_frac > 0 and rng.random() < chimera_frac
+        # a chimera needs room for two non-empty segments: L1 is
+        # clamped to L and short reads skip chimerization outright so
+        # the recorded truth end (s + L1) never overshoots the read
+        # (ADVICE r4)
+        is_chim = chimera_frac > 0 and L >= 400 and (
+            rng.random() < chimera_frac)
         if is_chim:
             # first half from (h, s), second half from a random other
             # locus (either haplotype, either orientation)
-            L1 = max(200, L // 2)
+            L1 = min(L - 100, max(200, L // 2))
             h2 = int(rng.integers(0, 2))
             L2 = L - L1
             s2 = int(rng.integers(0, max(1, len(haps[h2]) - L2 + 1)))

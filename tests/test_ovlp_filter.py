@@ -121,3 +121,23 @@ def test_overlap_host_shard_merge_equivalence():
     assert len(merged) == len(full)
     for f in OverlapSet._COLS:
         np.testing.assert_array_equal(getattr(merged, f), getattr(full, f))
+
+
+def test_overlap_empty_candidate_shard():
+    """A shard whose a_range yields zero candidates returns an empty
+    OverlapSet instead of crashing (ADVICE r4: np.split on an empty
+    order produced one empty group and bq[grp[0]] raised IndexError)."""
+    from falcon_unzip_tpu.models.overlapper import PreadOverlapper
+    from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
+    dip = make_diploid(length=5000, het_rate=0.0, seed=31)
+    reads = simulate_reads(dip, coverage=6.0, read_len=1400,
+                           error_rate=0.0, seed=32)
+    ov = PreadOverlapper(reads.batch)
+    n = len(reads.batch)
+    empty = ov.compute(a_range=(n, n))
+    assert len(empty) == 0
+    # and the empty shard still merges cleanly with a real one
+    rest = ov.compute(a_range=(0, n))
+    merged = OverlapSet.merge(
+        [OverlapSet.from_bytes(p.to_bytes()) for p in (empty, rest)])
+    assert len(merged) == len(rest)

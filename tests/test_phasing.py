@@ -154,3 +154,14 @@ def test_het_call_host_matches_device():
     base = rng.integers(0, 5, size=20000).astype(np.int32)
     assert np.array_equal(pileup_host(pos, base, 997),
                           np.asarray(pileup_scatter(pos, base, t_len=997)))
+
+
+def test_windowed_phasing_rejects_degenerate_window():
+    """s_win <= max_span would make the window stride non-positive and
+    loop forever on the long path (ADVICE r4) — must raise up front."""
+    import pytest
+    from falcon_unzip_tpu.models.phaser import phase_contigs_batched
+    from falcon_unzip_tpu.oracle.phasing import PhasingConfig
+    cfg = PhasingConfig()
+    with pytest.raises(ValueError, match="must exceed"):
+        phase_contigs_batched(None, [], [], cfg, s_win=cfg.max_span)
