@@ -142,27 +142,39 @@ class PreadOverlapper:
         # that, small blocks keep the anchor temporaries cache-resident
         # (measured: 64-read blocks beat both per-read and full-batch)
         block = max(1, min(n, 64, (1 << 31) // max(n, 1) - 1))
-        for strand in (0, 1):
+
+        def _one(strand: int, a0: int):
             rows = fwd_rows if strand == 0 else rc_rows
-            for a0 in range(a_lo, a_hi, block):
-                rid, q_pos, t_pos, t_ctg = query_flat(
-                    self.index, rows[a0 : min(a0 + block, a_hi)])
-                a_glob = rid.astype(np.int64) + a0
-                # each unordered pair is chained once, from the smaller
-                # id (self anchors drop with it; self-rc also skipped)
-                keep = t_ctg > a_glob
-                # best placement per (read, partner) pair, one numpy pass
-                # (t_lo is the exact minimum anchor diagonal, NOT the
-                # quantized bin start — quantization here shifts the DP
-                # window and corrupts overlap ends)
-                a_l, bs, t_los = chain_best_per_pair(
-                    rid[keep], q_pos[keep], t_pos[keep], t_ctg[keep],
-                    n_targets=n, min_anchors=cfg.min_anchors,
-                    min_span=cfg.min_span)
-                cols["a"].append(np.asarray(a_l, np.int64) + a0)
-                cols["b"].append(np.asarray(bs, np.int64))
-                cols["s"].append(np.full(len(a_l), strand, np.int8))
-                cols["d"].append(np.asarray(t_los, np.int64))
+            rid, q_pos, t_pos, t_ctg = query_flat(
+                self.index, rows[a0 : min(a0 + block, a_hi)])
+            a_glob = rid.astype(np.int64) + a0
+            # each unordered pair is chained once, from the smaller
+            # id (self anchors drop with it; self-rc also skipped)
+            keep = t_ctg > a_glob
+            # best placement per (read, partner) pair, one numpy pass
+            # (t_lo is the exact minimum anchor diagonal, NOT the
+            # quantized bin start — quantization here shifts the DP
+            # window and corrupts overlap ends)
+            a_l, bs, t_los = chain_best_per_pair(
+                rid[keep], q_pos[keep], t_pos[keep], t_ctg[keep],
+                n_targets=n, min_anchors=cfg.min_anchors,
+                min_span=cfg.min_span)
+            return (np.asarray(a_l, np.int64) + a0,
+                    np.asarray(bs, np.int64),
+                    np.full(len(a_l), strand, np.int8),
+                    np.asarray(t_los, np.int64))
+
+        # (strand, block) passes are independent; the thread pool
+        # overlaps the np.unique sorts across host cores and task-order
+        # appends keep the stream byte-identical to the serial loop
+        from ..ops.kmer_index import thread_map
+        tasks = [(strand, a0) for strand in (0, 1)
+                 for a0 in range(a_lo, a_hi, block)]
+        for a_l, bs, st, t_los in thread_map(_one, tasks):
+            cols["a"].append(a_l)
+            cols["b"].append(bs)
+            cols["s"].append(st)
+            cols["d"].append(t_los)
         a = (np.concatenate(cols["a"]) if cols["a"]
              else np.zeros(0, np.int64))
         b = (np.concatenate(cols["b"]) if cols["b"]

@@ -376,19 +376,28 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
         r2c = deserialize(align_stage.out("read_to_contig_map.msgpack"))
         t_start = np.full(n_reads, -1, np.int64)
         t_end = np.full(n_reads, -1, np.int64)
+        p_ctg_of = np.full(n_reads, -1, np.int64)
+        p_strand = np.zeros(n_reads, np.int8)
         for rid, rec in r2c.items():
+            p_ctg_of[int(rid)] = int(rec[0])
             t_start[int(rid)] = int(rec[1])
             t_end[int(rid)] = int(rec[2])
+            p_strand[int(rid)] = int(rec[3]) if len(rec) > 3 else 0
 
         uz = Unzipper(preads, read_block, read_phase, read_ctg=read_ctg,
                       placements=(t_start, t_end),
+                      placement_ctg=p_ctg_of,
+                      placement_strand=p_strand,
+                      draft_seqs=contigs,
                       cfg=UnzipConfig(
                           fuzz=cfg.graph.fuzz,
                           reduction_fuzz=cfg.graph.reduction_fuzz,
                           max_bubble_steps=cfg.graph.max_bubble_steps))
         _t0 = _time.perf_counter()
         res = uz.unzip(ovl, keep)
-        metrics.log("hasm_graph_walk", s=round(_time.perf_counter() - _t0, 2))
+        metrics.log("hasm_graph_walk",
+                    s=round(_time.perf_counter() - _t0, 2),
+                    n_rescues=uz.n_rescues, n_fills=uz.n_fills)
 
         # ---- optional haplotig dedup (fc_dedup_h_tigs role)
         _t0 = _time.perf_counter()

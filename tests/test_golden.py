@@ -28,14 +28,20 @@ from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
 # all_phased_reads re-derived same day for AlnSet.sort_canonical (records
 # now in read-id order, shard-count invariant for multi-host runs); all
 # contig outputs were verified byte-UNCHANGED by that re-derivation.
+# Re-derived 2026-08-21 (round 5): the DRAFT-GUIDED walk starts each
+# primary at the leftmost placed read in draft orientation instead of
+# the longest source read (models/unzipper.py round-5 contiguity work);
+# both contigs verified exact substrings of their truth haplotypes
+# (p 5650 bp, h 5394 bp), polish still byte-reproduces them, and
+# all_phased_reads is byte-UNCHANGED.
 GOLDEN = {
-    "3-unzip/all_p_ctg.fa": "a86c62967efd559e",
-    "3-unzip/all_h_ctg.fa": "7b9ad02a165b3c4c",
+    "3-unzip/all_p_ctg.fa": "2214212ca4a79346",
+    "3-unzip/all_h_ctg.fa": "70b2521a58bd85f1",
     "3-unzip/all_phased_reads": "3c3f04ee8364d5f6",
     # polish reproduces primary AND haplotig exactly on this sim, so the
     # cns files are legitimately byte-equal to the 3-unzip outputs
-    "4-polish/cns_p_ctg.fasta": "a86c62967efd559e",
-    "4-polish/cns_h_ctg.fasta": "7b9ad02a165b3c4c",
+    "4-polish/cns_p_ctg.fasta": "2214212ca4a79346",
+    "4-polish/cns_h_ctg.fasta": "70b2521a58bd85f1",
 }
 
 
