@@ -287,8 +287,8 @@ def bam_to_alnset(bam, min_mapq: int = 0):
     from .io.native import BamColumns
     if isinstance(bam, BamColumns):
         bam = bam.to_bamfile()
-    read_id, ctg, strand, t_s, t_e, q_len, dist, tags = \
-        [], [], [], [], [], [], [], []
+    read_id, ctg, strand, t_s, t_e, q_len, dist, tags, q_s = \
+        [], [], [], [], [], [], [], [], []
     for i, rec in enumerate(bam.records):
         if rec.is_unmapped or rec.ref_id < 0 or rec.mapq < min_mapq:
             continue
@@ -300,6 +300,10 @@ def bam_to_alnset(bam, min_mapq: int = 0):
         t_e.append(rec.pos + t_span)
         q_len.append(len(rec.seq))
         dist.append(sum(ln for ln, op in rec.cigar if op in (1, 2, 8)))
+        # leading soft clip = aligned-orientation read offset of the
+        # first aligned base (BAM stores seq in ref orientation)
+        q_s.append(rec.cigar[0][0] if rec.cigar
+                   and rec.cigar[0][1] == 4 else 0)
         tags.append(cigar_to_tags(rec.cigar, rec.seq, rec.pos))
     return AlnSet(read_id=np.asarray(read_id, np.int32),
                   ctg=np.asarray(ctg, np.int32),
@@ -307,7 +311,8 @@ def bam_to_alnset(bam, min_mapq: int = 0):
                   t_start=np.asarray(t_s, np.int64),
                   t_end=np.asarray(t_e, np.int64),
                   q_len=np.asarray(q_len, np.int32),
-                  dist=np.asarray(dist, np.int32), tags=tags)
+                  dist=np.asarray(dist, np.int32), tags=tags,
+                  q_start=np.asarray(q_s, np.int32))
 
 
 # ---------------------------------------------------------------------------

@@ -83,10 +83,14 @@ def read_fastq(path: str, align: int = 128) -> tuple[SeqBatch, list[bytes]]:
         seqs.append(encode(s))
         quals.append(q)
     batch = SeqBatch.from_strs(seqs, names=names, align=align)
-    # per-read mean phred (the QV-aware polish tier reads this)
+    # per-read mean phred (the QV-aware polish tier reads this) and the
+    # raw per-base phred tracks (per-base tier conditioning)
+    batch.base_qv = [
+        (np.frombuffer(q, np.uint8).astype(np.uint8) - 33) if q
+        else np.zeros(0, np.uint8) for q in quals]
     batch.mean_qv = np.array(
-        [float(np.frombuffer(q, np.uint8).mean()) - 33.0 if q else 0.0
-         for q in quals], np.float32)
+        [float(t.mean()) if len(t) else 0.0 for t in batch.base_qv],
+        np.float32)
     return batch, quals
 
 

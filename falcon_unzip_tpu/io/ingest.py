@@ -84,8 +84,14 @@ def concat_batches(batches: list[SeqBatch]) -> SeqBatch:
         mean_qv = np.concatenate([
             b.mean_qv if b.mean_qv is not None
             else np.zeros(len(b), np.float32) for b in batches])
+    base_qv = None
+    if any(b.base_qv is not None for b in batches):
+        base_qv = []
+        for b in batches:
+            base_qv.extend(b.base_qv if b.base_qv is not None
+                           else [np.zeros(0, np.uint8)] * len(b))
     return SeqBatch(data=data, lengths=lengths, names=names,
-                    mean_qv=mean_qv)
+                    mean_qv=mean_qv, base_qv=base_qv)
 
 
 def read_seqs(path: str) -> SeqBatch:

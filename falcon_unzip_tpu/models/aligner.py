@@ -36,6 +36,16 @@ class AlnSet:
     dist: np.ndarray       # (A,) int32 edit distance
     tags: list[np.ndarray] # per-record (n,3) int32 (t_pos, delta, base),
                            # t_pos in CONTIG-local coordinates
+    q_start: np.ndarray | None = None
+    #   (A,) int32 start of the aligned span in the ALIGNED-ORIENTATION
+    #   read (fwd reads: offset from read start; rc reads: offset from
+    #   read END) — lets consumers map each read-consuming tag back to a
+    #   read coordinate (per-base quality conditioning, SURVEY.md §2b
+    #   variantCaller row).  None (legacy blobs) -> zeros.
+
+    def __post_init__(self):
+        if self.q_start is None:
+            self.q_start = np.zeros(len(self.read_id), np.int32)
 
     def __len__(self) -> int:
         return len(self.read_id)
@@ -60,7 +70,8 @@ class AlnSet:
             strand=self.strand[order], t_start=self.t_start[order],
             t_end=self.t_end[order], q_len=self.q_len[order],
             dist=self.dist[order],
-            tags=[self.tags[i] for i in order])
+            tags=[self.tags[i] for i in order],
+            q_start=self.q_start[order])
 
     def subset(self, mask: np.ndarray) -> "AlnSet":
         """Records selected by a boolean mask (or index array), order
@@ -71,7 +82,8 @@ class AlnSet:
             strand=self.strand[idx], t_start=self.t_start[idx],
             t_end=self.t_end[idx], q_len=self.q_len[idx],
             dist=self.dist[idx],
-            tags=[self.tags[i] for i in idx])
+            tags=[self.tags[i] for i in idx],
+            q_start=self.q_start[idx])
 
     def to_bytes(self) -> bytes:
         """Pack into one msgpack blob (the cross-host gather payload)."""
@@ -83,6 +95,7 @@ class AlnSet:
             "read_id": self.read_id, "ctg": self.ctg,
             "strand": self.strand, "t_start": self.t_start,
             "t_end": self.t_end, "q_len": self.q_len, "dist": self.dist,
+            "q_start": self.q_start,
             "tag_lens": tag_lens, "tag_cat": tag_cat.reshape(-1, 3)})
 
     @staticmethod
@@ -95,7 +108,7 @@ class AlnSet:
         return AlnSet(read_id=c["read_id"], ctg=c["ctg"],
                       strand=c["strand"], t_start=c["t_start"],
                       t_end=c["t_end"], q_len=c["q_len"], dist=c["dist"],
-                      tags=tags)
+                      tags=tags, q_start=c.get("q_start"))
 
     @staticmethod
     def merge(parts: list["AlnSet"]) -> "AlnSet":
@@ -108,7 +121,9 @@ class AlnSet:
             t_end=np.concatenate([p.t_end for p in parts]),
             q_len=np.concatenate([p.q_len for p in parts]),
             dist=np.concatenate([p.dist for p in parts]),
-            tags=[t for p in parts for t in p.tags]).sort_canonical()
+            tags=[t for p in parts for t in p.tags],
+            q_start=np.concatenate([p.q_start for p in parts])
+            ).sort_canonical()
 
 
 @dataclasses.dataclass
@@ -270,7 +285,7 @@ class ReadToContigAligner:
         # (PAD chars never match; end extraction uses true lengths).
         out = {k: [] for k in
                ("read_id", "ctg", "strand", "t_start", "t_end",
-                "q_len", "dist")}
+                "q_len", "dist", "q_start")}
         tags_out: list[np.ndarray] = []
         aligner = self._aligner()
         j_ctg = np.array([j[2] for j in jobs], np.int64)
@@ -353,6 +368,12 @@ class ReadToContigAligner:
                     out["t_end"].append(lo + end_j)
                     out["q_len"].append(qn)
                     out["dist"].append(dist)
+                    # aligned-orientation read offset of the first kept
+                    # base: overhang clip (q_off rel. to the read's pool
+                    # row) + anchor trim
+                    out["q_start"].append(
+                        q_off - int(roff[rid - r_lo])
+                        - (nf if strand else 0) + cl["q0"])
                     tags_out.append(tags)
                 tm["post_s"] += _time.perf_counter() - _tp
 
@@ -367,6 +388,7 @@ class ReadToContigAligner:
             q_len=np.array(out["q_len"], np.int32),
             dist=np.array(out["dist"], np.int32),
             tags=tags_out,
+            q_start=np.array(out["q_start"], np.int32),
         ).sort_canonical()
 
 

@@ -119,6 +119,10 @@ class _WinState:
     seg_pvecs: np.ndarray | None = None
     #   optional per-seg (n_segs, 10) log-params for base-quality-aware
     #   scoring (SURVEY.md §2b variantCaller row)
+    seg_qtiers: list | None = None
+    #   optional per-seg int8 tier-id arrays (one id per segment base)
+    #   for PER-BASE quality conditioning — the finer-grained tier that
+    #   supersedes seg_pvecs when the reads carry a phred track
 
 
 @dataclasses.dataclass
@@ -167,9 +171,38 @@ def window_votes(aln: AlnSet, rec_idx: np.ndarray, lo: int, hi: int):
     return vote_matrix(tags_list, hi - lo)
 
 
+# representative phreds of the per-base quality tiers and the phred
+# boundaries between them; row 0 of tier_table is the GLOBAL params
+# (reads without a quality track land there)
+TIER_PHRED = (4.0, 8.0, 12.0, 18.0, 30.0)
+TIER_EDGES = (6.0, 10.0, 15.0, 22.0)
+LOWQ_TIER = 2      # tier ids <= this (phred < 10) count as low-quality
+#                    for hotspot-suspect column probing (_candidates)
+
+
+def tier_table(base_params=None) -> np.ndarray:
+    """(1 + len(TIER_PHRED), 10) per-tier HMM log-params: row 0 global,
+    rows 1.. the base-quality tiers (params_for_read_qv at each
+    representative phred) — the ops.arrow per-base tier_params table."""
+    from ..oracle.hmm import params_for_read_qv
+    from ..ops.pairhmm import params_vector
+    rows = [params_vector(base_params)]
+    rows += [params_vector(params_for_read_qv(q, base_params))
+             for q in TIER_PHRED]
+    return np.stack(rows).astype(np.float32)
+
+
+def phred_to_tiers(qv: np.ndarray) -> np.ndarray:
+    """uint8 phred track -> int8 tier ids (1..T; see tier_table)."""
+    return (np.searchsorted(np.asarray(TIER_EDGES, np.float32),
+                            qv.astype(np.float32), side="right")
+            + 1).astype(np.int8)
+
+
 class Polisher:
     def __init__(self, cfg: PolisherConfig | None = None, scorer=None,
-                 vote_ops=None, splicer=None, read_pvecs=None):
+                 vote_ops=None, splicer=None, read_pvecs=None,
+                 read_qtiers=None):
         """scorer: optional LEGACY pair-HMM scorer override with the
         (q, t, n, m) -> ll interface; injecting one selects the full
         re-forward refinement path (kept for oracle-equivalence tests).
@@ -189,10 +222,21 @@ class Polisher:
         log-params (ops.pairhmm.params_vector order) — the
         base-quality-conditioned tier; rows are attached to each
         window segment by its read id and flow into the splice kernel
-        per pair."""
+        per pair.
+
+        read_qtiers: optional list (indexed by read id) of per-read
+        int8 TIER-ID tracks in FORWARD read orientation (see
+        phred_to_tiers), for PER-BASE quality conditioning: each window
+        segment base is mapped back to its read coordinate through the
+        alignment tags (AlnSet.q_start + read-consuming tag count) and
+        carries its own tier into the splice kernel (real Arrow's
+        IQV/DQV conditioning, SURVEY.md §2b variantCaller row).  Takes
+        precedence over read_pvecs; the default splicer is then built
+        with the matching tier_table()."""
         self.cfg = cfg or PolisherConfig()
         self._vote_ops = vote_ops
         self._read_pvecs = read_pvecs
+        self._read_qtiers = read_qtiers
         self._scorer = scorer
         if scorer is not None:
             self._splicer = None
@@ -205,7 +249,9 @@ class Polisher:
             self._splicer = ArrowSplicer(
                 max_cand=self.cfg.arrow_candidates,
                 params=self.cfg.params, chunk=self.cfg.splice_chunk,
-                fixed_lq=cap, fixed_lj=cap)
+                fixed_lq=cap, fixed_lj=cap,
+                tier_params=(tier_table(self.cfg.params)
+                             if read_qtiers is not None else None))
 
     # -- window consensus --------------------------------------------------
 
@@ -263,7 +309,8 @@ class Polisher:
         return cns, cov, cns_of_t
 
     def _candidates(self, cns: np.ndarray, votes: np.ndarray,
-                    cns_of_t: np.ndarray) -> list[int]:
+                    cns_of_t: np.ndarray,
+                    lowq: np.ndarray | None = None) -> list[int]:
         """Low-margin columns in EXACT consensus coordinates.
 
         Low-margin template positions (vote winner below margin_frac of
@@ -276,6 +323,16 @@ class Polisher:
         tot = d0.sum(axis=1)
         win = d0.max(axis=1)
         low = (tot >= cfg.min_cov) & (win < cfg.margin_frac * tot)
+        if lowq is not None:
+            # tier-aware probing: a column whose coverage is dominated
+            # by LOW-QUALITY bases can be confidently WRONG (e.g. a
+            # strand-correlated error hotspot where the noisy strand
+            # outvotes the clean one), so probe it even at high margin —
+            # the per-base-conditioned splice then lets the clean
+            # evidence win (measured: fixes hotspot residuals the
+            # margin rule never tests)
+            ltot = lowq[:, 0, :].sum(axis=1)
+            low |= (tot >= cfg.min_cov) & (2 * ltot >= tot)
         if cfg.het_skip_frac > 0:
             # balanced biallelic column = residual het mixture (phase
             # routing miss), not an error; suppress mutation testing so
@@ -342,6 +399,41 @@ class Polisher:
         rec_start = aln.t_start[rec_idx]
         rec_end = aln.t_end[rec_idx]
 
+        # per-base tier mode: map every tag of every record back to a
+        # read coordinate (q_start + read-consuming count; deletion tags
+        # inherit the preceding read base) and look up its quality tier.
+        # tag_tier feeds (a) per-segment tier tracks for the splice
+        # kernel and (b) the LOW-QUALITY vote tensor that flags
+        # hotspot-suspect columns for probing (_candidates lowq).
+        tier_mode = self._read_qtiers is not None
+        tag_tier: dict[int, np.ndarray] = {}
+        lvslice = None
+        if tier_mode:
+            low_tags: list[np.ndarray] = []
+            for local, a in enumerate(rec_idx):
+                tags_a = aln.tags[a]
+                if tags_a is None or len(tags_a) == 0:
+                    continue
+                rid = int(aln.read_id[a])
+                tr = (self._read_qtiers[rid]
+                      if rid < len(self._read_qtiers) else None)
+                if tr is None or not len(tr):
+                    continue
+                tr = np.asarray(tr, np.int8)
+                if aln.strand[a]:
+                    tr = tr[::-1]
+                cum = np.cumsum(tags_a[:, 2] < 4, dtype=np.int64) - 1
+                rpos = int(aln.q_start[a]) + cum
+                tt = tr[np.clip(rpos, 0, len(tr) - 1)]
+                tag_tier[local] = tt
+                sel = tt <= LOWQ_TIER
+                if sel.any():
+                    low_tags.append(tags_a[sel])
+            lowq_full = vote_matrix(low_tags, t_len)
+
+            def lvslice(lo, hi):
+                return lowq_full[lo:hi]
+
         states: list[_WinState] = []
         lo = 0
         while lo < t_len:
@@ -351,6 +443,7 @@ class Polisher:
                                                        template[lo:hi])
             segs = []
             seg_rids = []
+            seg_qtiers = [] if tier_mode else None
             # full-span records only: same predicate window_read_segments
             # applies on non-gap tag extrema (tmin == t_start,
             # tmax == t_end - 1 for records starting/ending on matches)
@@ -377,16 +470,24 @@ class Polisher:
                     # PolisherConfig.splice_len_cap)
                     segs.append(inw[:, 2].astype(np.int8))
                     seg_rids.append(int(aln.read_id[rec_idx[local]]))
+                    if tier_mode:
+                        tt = tag_tier.get(local)
+                        seg_qtiers.append(
+                            tt[i0:i1][m] if tt is not None
+                            else np.zeros(int(m.sum()), np.int8))
             active = (cfg.arrow_rounds > 0 and len(cns) > 0
                       and len(segs) >= max(cfg.min_cov, cfg.arrow_min_cov))
-            cand = (self._candidates(cns, votes, cns_of_t)
+            cand = (self._candidates(
+                cns, votes, cns_of_t,
+                lowq=lvslice(lo, hi) if lvslice is not None else None)
                     if active else [])
             seg_pvecs = None
             if self._read_pvecs is not None and segs:
                 seg_pvecs = np.asarray(self._read_pvecs)[seg_rids]
             states.append(_WinState(cns=cns, votes=votes, segs=segs,
                                     active=active and bool(cand),
-                                    cand=cand, seg_pvecs=seg_pvecs))
+                                    cand=cand, seg_pvecs=seg_pvecs,
+                                    seg_qtiers=seg_qtiers))
             if hi >= t_len:
                 break
             lo += step
@@ -422,6 +523,8 @@ class Polisher:
             pair_w: list[int] = []
             pvecs: list[np.ndarray] = []
             any_pvec = False
+            qtiers: list = []
+            any_qt = False
             win_cols: dict[int, list[int]] = {}
             for k, st in enumerate(states):
                 if not st.active:
@@ -446,6 +549,11 @@ class Polisher:
                         any_pvec = True
                     else:
                         pvecs.append(None)
+                    if st.seg_qtiers is not None:
+                        qtiers.append(st.seg_qtiers[si])
+                        any_qt = True
+                    else:
+                        qtiers.append(None)
             if not qs:
                 break
             pv = None
@@ -454,7 +562,14 @@ class Polisher:
                 default = params_vector(cfg.params)
                 pv = np.stack([p if p is not None else default
                                for p in pvecs])
-            ll_cur, ll_mut = self._splicer(qs, ts, cands, pvecs=pv)
+            if any_qt:
+                qt = [q if q is not None
+                      else np.zeros(len(qs[i]), np.int8)
+                      for i, q in enumerate(qtiers)]
+                ll_cur, ll_mut = self._splicer(qs, ts, cands, pvecs=pv,
+                                               qtiers=qt)
+            else:
+                ll_cur, ll_mut = self._splicer(qs, ts, cands, pvecs=pv)
             # pair_w is built in ascending-window order, so each window's
             # pairs are one CONTIGUOUS slice: searchsorted bounds replace
             # the per-window boolean scan (which was O(windows x pairs) —

@@ -85,7 +85,8 @@ def _lse3(a, b, c):
     return jnp.logaddexp(jnp.logaddexp(a, b), c)
 
 
-def arrow_splice_core(q, t, n, m, cand, pvec, *, Lq: int, LJ: int, C: int):
+def arrow_splice_core(q, t, n, m, cand, pvec, qtier=None, tiers=None, *,
+                      Lq: int, LJ: int, C: int):
     """Forward+backward+splice for P (read, template) pairs.
 
     q:    (P, Lq) int8 read codes, PAD-padded
@@ -95,6 +96,16 @@ def arrow_splice_core(q, t, n, m, cand, pvec, *, Lq: int, LJ: int, C: int):
     cand: (P, C) int32 candidate template positions (0-based, < m);
           -1 = unused slot
     pvec: (P, 10) float32 per-pair log-params, ops.pairhmm order
+    qtier/tiers: optional PER-BASE quality conditioning (the real
+          Arrow's IQV/DQV per-base tiers, SURVEY.md §2b variantCaller
+          row).  qtier: (P, R) int32 tier id of read base i (rows >= n
+          ignored); tiers: (T, 10) float32 per-tier log-params.  When
+          given, every param of an HMM edge comes from the tier of the
+          read base the edge consumes (D-only edges in row i take base
+          i-1's tier, clipped at 0) and pvec is ignored.  Numeric spec:
+          oracle.hmm.forward_backward_full_pb / splice_scores_pb.
+          Shipping tier IDS (bytes/base) instead of (R, 10) param rows
+          keeps host->device transfer small on the relay link.
 
     Returns (ll_cur (P,), ll_mut (P, C, 9) float32) with variant order
     [sub->0..3, ins 0..3 before p, del].  Unused slots score NEG.
@@ -105,12 +116,23 @@ def arrow_splice_core(q, t, n, m, cand, pvec, *, Lq: int, LJ: int, C: int):
     j_iota = jnp.arange(LJ, dtype=jnp.int32)[None, :]
     n = n.astype(jnp.int32)[:, None]
     m = m.astype(jnp.int32)[:, None]
-    em_match = pvec[:, 0:1]
-    em_mis = pvec[:, 1:2]
-    em_ins = pvec[:, 2:3]
-    tMM, tMI, tMD = pvec[:, 3:4], pvec[:, 4:5], pvec[:, 5:6]
-    tIM, tII = pvec[:, 6:7], pvec[:, 7:8]
-    tDM, tDD = pvec[:, 8:9], pvec[:, 9:10]
+    per_base = qtier is not None
+    if per_base:
+        tiers = tiers.astype(jnp.float32)             # (T, 10)
+        qt = qtier.astype(jnp.int32)                  # (P, R)
+        qt_m1 = jnp.concatenate([qt[:, :1], qt[:, :-1]], axis=1)
+
+        def _row_params(src, i):
+            """Row i's ten (P, 1) param scalars from tier ids `src`."""
+            tsel = jax.lax.dynamic_slice(src, (0, i), (P, 1))
+            pr = tiers[tsel[:, 0]]                    # (P, 10)
+            return [pr[:, k : k + 1] for k in range(10)]
+
+        frow = lambda i: _row_params(qt_m1, i)        # base i-1 (clip 0)
+        brow = lambda i: _row_params(qt, i)           # base i
+    else:
+        _const = [pvec[:, k : k + 1] for k in range(10)]
+        frow = brow = lambda i: _const
 
     jmask = j_iota <= m                       # (P, LJ) valid columns
     tg = _shift_right(t, 1, jnp.int8(PAD))    # tg[:, j] = t[j-1]
@@ -131,6 +153,10 @@ def arrow_splice_core(q, t, n, m, cand, pvec, *, Lq: int, LJ: int, C: int):
     # ---- forward sweep: rows i = 0..Lq -------------------------------
     def fstep(carry, i):
         M1, I1, D1 = carry
+        # every edge into row i consumes q[i-1]; row-i D edges are
+        # conditioned on base i-1 too -> one tier row per step
+        (em_match, em_mis, em_ins, tMM, tMI, tMD, tIM, tII, tDM,
+         tDD) = frow(i)
         qc = jax.lax.dynamic_slice(qg, (0, i), (P, 1))        # q[i-1]
         em = jnp.where((qc == tg) & (qc < 4), em_match, em_mis)
         rowv = (i <= n[:, 0])[:, None]
@@ -158,6 +184,11 @@ def arrow_splice_core(q, t, n, m, cand, pvec, *, Lq: int, LJ: int, C: int):
     # ---- backward sweep: rows i = Lq..0 ------------------------------
     def bstep(carry, i):
         BM1, BI1 = carry                         # rows i+1
+        # M/I edges out of row i consume q[i]; within-row D edges
+        # (tMD, tDD) stay conditioned on base i-1, mirroring forward
+        (em_match, em_mis, em_ins, tMM, tMI, _tMD_i, tIM, tII, tDM,
+         _tDD_i) = brow(i)
+        (_em0, _em1, _em2, _t3, _t4, tMD, _t6, _t7, _t8, tDD) = frow(i)
         qc = jax.lax.dynamic_slice(qpad, (0, i), (P, 1))      # q[i]
         emB = jnp.where((qc == t) & (qc < 4), em_match, em_mis)
         go_m = emB + _shift_left(BM1, 1, neg)    # em(i+1,j+1)+BM[i+1,j+1]
@@ -187,8 +218,15 @@ def arrow_splice_core(q, t, n, m, cand, pvec, *, Lq: int, LJ: int, C: int):
     bD = bD[::-1].transpose(1, 2, 0).reshape(P, 3, C, R)
 
     # ---- splice assembly --------------------------------------------
-    def p3(k):
-        return pvec[:, k, None, None]
+    if per_base:
+        # launch row i crosses by consuming q[i] (M step, tier qt[:, i])
+        # or by a row-i D step (tier qt_m1[:, i])
+        def p3(k):
+            src = qt_m1 if k in (5, 9) else qt    # tMD/tDD: base i-1
+            return tiers[:, k][src][:, None, :]   # (P, 1, R)
+    else:
+        def p3(k):
+            return pvec[:, k, None, None]
 
     axM = _lse3(afM + p3(3), afI + p3(6), afD + p3(8))        # (P, C, R)
     axD = jnp.logaddexp(afM + p3(5), afD + p3(9))
@@ -196,8 +234,8 @@ def arrow_splice_core(q, t, n, m, cand, pvec, *, Lq: int, LJ: int, C: int):
         [bM[..., 1:], jnp.full(bM.shape[:-1] + (1,), NEG, jnp.float32)],
         axis=-1)
 
-    em2_match = pvec[:, 0, None, None]
-    em2_mis = pvec[:, 1, None, None]
+    em2_match = p3(0)
+    em2_mis = p3(1)
 
     def cross(em, s):
         """Join launches through one base into backward column p+s."""
@@ -243,7 +281,8 @@ class ArrowSplicer:
 
     def __init__(self, max_cand: int = 8, params: HMMParams | None = None,
                  chunk: int = 512, fixed_lq: int | None = None,
-                 fixed_lj: int | None = None):
+                 fixed_lj: int | None = None,
+                 tier_params: np.ndarray | None = None):
         """fixed_lq/fixed_lj: pin the padded read/template shapes.  With
         data-derived shapes, a pair's logsumexp reduction tree depends on
         the LONGEST member of its batch, so the same pair scored in a
@@ -257,6 +296,10 @@ class ArrowSplicer:
         self.pvec1 = params_vector(params)
         self.fixed_lq = fixed_lq
         self.fixed_lj = fixed_lj
+        # (T, 10) per-tier log-params for PER-BASE quality conditioning
+        # (qtiers argument of __call__); None = per-pair pvec mode
+        self.tier_params = (np.asarray(tier_params, np.float32)
+                            if tier_params is not None else None)
 
     def _shapes(self, qs, ts):
         max_q = max((len(q) for q in qs), default=1)
@@ -275,16 +318,21 @@ class ArrowSplicer:
             chunk *= 2
         return min(chunk, self.chunk)
 
-    def _dispatch(self, qa, ta, nn, mm, ca, pv, Lq: int, LJ: int):
+    def _dispatch(self, qa, ta, nn, mm, ca, pv, Lq: int, LJ: int,
+                  qt=None):
         return arrow_splice_batch(
             jnp.asarray(qa), jnp.asarray(ta), jnp.asarray(nn),
             jnp.asarray(mm), jnp.asarray(ca), jnp.asarray(pv),
+            None if qt is None else jnp.asarray(qt),
+            None if qt is None else jnp.asarray(self.tier_params),
             Lq=Lq, LJ=LJ, C=self.C)
 
-    def __call__(self, qs, ts, cands, pvecs=None):
+    def __call__(self, qs, ts, cands, pvecs=None, qtiers=None):
         """qs/ts: lists of int8 arrays; cands: (N, C) int32 (-1 pad) or
-        list of lists; pvecs: optional (N, 10). Returns (ll_cur (N,),
-        ll_mut (N, C, 9))."""
+        list of lists; pvecs: optional (N, 10); qtiers: optional list of
+        per-pair int8/int32 tier-id arrays (len == len(qs[i])) selecting
+        rows of the constructor's tier_params table per READ BASE.
+        Returns (ll_cur (N,), ll_mut (N, C, 9))."""
         N = len(qs)
         C = self.C
         cand = np.full((N, C), -1, np.int32)
@@ -300,6 +348,7 @@ class ArrowSplicer:
         # program first, then fetch all results in two concatenated
         # RPCs — a refinement round used to pay one blocking device
         # round trip per chunk
+        use_tiers = qtiers is not None and self.tier_params is not None
         pend = []
         for lo in range(0, N, chunk):
             hi = min(N, lo + chunk)
@@ -310,16 +359,20 @@ class ArrowSplicer:
             mm = np.zeros(P, np.int32)
             ca = np.full((P, C), -1, np.int32)
             pv = np.tile(self.pvec1, (P, 1)).astype(np.float32)
+            qt = np.zeros((P, Lq + 1), np.int8) if use_tiers else None
             for i in range(lo, hi):
                 q, t = qs[i], ts[i]
                 qa[i - lo, :len(q)] = q
                 ta[i - lo, :len(t)] = t
                 nn[i - lo] = len(q)
                 mm[i - lo] = len(t)
+                if use_tiers:
+                    qt[i - lo, :len(qtiers[i])] = qtiers[i]
             ca[:hi - lo] = cand[lo:hi]
             if pvecs is not None:
                 pv[:hi - lo] = pvecs[lo:hi]
-            pend.append(self._dispatch(qa, ta, nn, mm, ca, pv, Lq, LJ))
+            pend.append(self._dispatch(qa, ta, nn, mm, ca, pv, Lq, LJ,
+                                       qt=qt))
         if len(pend) == 1:
             cur_all = np.asarray(pend[0][0])
             mut_all = np.asarray(pend[0][1])

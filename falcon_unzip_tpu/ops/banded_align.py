@@ -364,6 +364,7 @@ def anchor_trim(q: np.ndarray, t_win: np.ndarray, moves: np.ndarray,
     return {
         "moves": kept,
         "q": q[q0 : len(q) - q1],
+        "q0": q0,
         "start_j": start_j + t0,
         "end_j": int(end_j) - t1,
         "dist": int((~diag_eq[s0 : s_last + k]).sum()),

@@ -232,6 +232,162 @@ def splice_scores(q: np.ndarray, t: np.ndarray, fb, p: int,
     return out
 
 
+def _pb_at(pb: np.ndarray, i: int) -> np.ndarray:
+    """Param row of read base i, clipped into [0, n-1]."""
+    return pb[min(max(i, 0), len(pb) - 1)]
+
+
+# ops.pairhmm.params_vector column order
+_K = {"em_match": 0, "em_mis": 1, "em_ins": 2, "tMM": 3, "tMI": 4,
+      "tMD": 5, "tIM": 6, "tII": 7, "tDM": 8, "tDD": 9}
+
+
+def forward_full_pb(q: np.ndarray, t: np.ndarray,
+                    pb: np.ndarray) -> float:
+    """Per-BASE-conditioned forward loglik (real Arrow's IQV/DQV tiers,
+    SURVEY.md §2b variantCaller row).
+
+    pb: (n, 10) float32 log-params per read base, ops.pairhmm
+    params_vector column order.  Convention: every HMM edge takes its
+    params from the tier of the read base it CONSUMES; D-only edges
+    within row i (which consume no read base) take base i-1's tier,
+    clipped at 0 — so the forward recurrence of row i reads exactly one
+    param row, pb[i-1]."""
+    n, m = len(q), len(t)
+    M = np.full((n + 1, m + 1), NEG, np.float32)
+    I = np.full((n + 1, m + 1), NEG, np.float32)
+    D = np.full((n + 1, m + 1), NEG, np.float32)
+    M[0, 0] = 0.0
+    for i in range(n + 1):
+        L = _pb_at(pb, i - 1)
+        for j in range(m + 1):
+            if i > 0 and j > 0:
+                em = L[_K["em_match"]] \
+                    if (q[i - 1] == t[j - 1] and q[i - 1] < 4) \
+                    else L[_K["em_mis"]]
+                M[i, j] = em + np.logaddexp(
+                    np.logaddexp(M[i - 1, j - 1] + L[_K["tMM"]],
+                                 I[i - 1, j - 1] + L[_K["tIM"]]),
+                    D[i - 1, j - 1] + L[_K["tDM"]])
+            if i > 0:
+                I[i, j] = L[_K["em_ins"]] + np.logaddexp(
+                    M[i - 1, j] + L[_K["tMI"]],
+                    I[i - 1, j] + L[_K["tII"]])
+            if j > 0:
+                D[i, j] = np.logaddexp(M[i, j - 1] + L[_K["tMD"]],
+                                       D[i, j - 1] + L[_K["tDD"]])
+    return float(np.logaddexp(np.logaddexp(M[n, m], I[n, m]), D[n, m]))
+
+
+def forward_backward_full_pb(q: np.ndarray, t: np.ndarray,
+                             pb: np.ndarray):
+    """Per-base-conditioned alpha/beta pair (see forward_backward_full
+    for the A/B conventions and forward_full_pb for the edge-tier
+    convention).  Numeric spec for ops.arrow per-base mode."""
+    n, m = len(q), len(t)
+    A_M = np.full((n + 1, m + 1), NEG, np.float32)
+    A_I = np.full((n + 1, m + 1), NEG, np.float32)
+    A_D = np.full((n + 1, m + 1), NEG, np.float32)
+    A_M[0, 0] = 0.0
+    for i in range(n + 1):
+        L = _pb_at(pb, i - 1)
+        for j in range(m + 1):
+            if i > 0 and j > 0:
+                em = L[_K["em_match"]] \
+                    if (q[i - 1] == t[j - 1] and q[i - 1] < 4) \
+                    else L[_K["em_mis"]]
+                A_M[i, j] = em + np.logaddexp(
+                    np.logaddexp(A_M[i - 1, j - 1] + L[_K["tMM"]],
+                                 A_I[i - 1, j - 1] + L[_K["tIM"]]),
+                    A_D[i - 1, j - 1] + L[_K["tDM"]])
+            if i > 0:
+                A_I[i, j] = L[_K["em_ins"]] + np.logaddexp(
+                    A_M[i - 1, j] + L[_K["tMI"]],
+                    A_I[i - 1, j] + L[_K["tII"]])
+            if j > 0:
+                A_D[i, j] = np.logaddexp(A_M[i, j - 1] + L[_K["tMD"]],
+                                         A_D[i, j - 1] + L[_K["tDD"]])
+    B_M = np.full((n + 1, m + 1), NEG, np.float32)
+    B_I = np.full((n + 1, m + 1), NEG, np.float32)
+    B_D = np.full((n + 1, m + 1), NEG, np.float32)
+    B_M[n, m] = B_I[n, m] = B_D[n, m] = 0.0
+    for i in range(n, -1, -1):
+        Li = _pb_at(pb, i)        # M/I edges out of row i consume q[i]
+        Lm1 = _pb_at(pb, i - 1)   # within-row D edges: base i-1
+        for j in range(m, -1, -1):
+            if i == n and j == m:
+                continue
+            acc_m, acc_i, acc_d = NEG, NEG, NEG
+            if i < n and j < m:
+                em = Li[_K["em_match"]] \
+                    if (q[i] == t[j] and q[i] < 4) else Li[_K["em_mis"]]
+                go_m = em + B_M[i + 1, j + 1]
+                acc_m = np.logaddexp(acc_m, Li[_K["tMM"]] + go_m)
+                acc_i = np.logaddexp(acc_i, Li[_K["tIM"]] + go_m)
+                acc_d = np.logaddexp(acc_d, Li[_K["tDM"]] + go_m)
+            if i < n:
+                go_i = Li[_K["em_ins"]] + B_I[i + 1, j]
+                acc_m = np.logaddexp(acc_m, Li[_K["tMI"]] + go_i)
+                acc_i = np.logaddexp(acc_i, Li[_K["tII"]] + go_i)
+            if j < m:
+                acc_d = np.logaddexp(acc_d,
+                                     Lm1[_K["tDD"]] + B_D[i, j + 1])
+            B_D[i, j] = acc_d
+            if j < m:
+                acc_m = np.logaddexp(acc_m,
+                                     Lm1[_K["tMD"]] + B_D[i, j + 1])
+            B_M[i, j] = acc_m
+            B_I[i, j] = acc_i
+    return (A_M, A_I, A_D), (B_M, B_I, B_D)
+
+
+def splice_scores_pb(q: np.ndarray, t: np.ndarray, fb, p: int,
+                     pb: np.ndarray) -> np.ndarray:
+    """Per-base-conditioned mutation splice (see splice_scores).
+
+    Launch row i crosses the mutated column by consuming q[i] (M step:
+    base i's tier) or by a row-i D step (base i-1's tier)."""
+    (A_M, A_I, A_D), (B_M, B_I, B_D) = fb
+    n, m = len(q), len(t)
+    assert 0 <= p < m
+    idx = np.arange(n + 1)
+    Li = pb[np.clip(idx, 0, n - 1)]           # (n+1, 10) base i
+    Lm1 = pb[np.clip(idx - 1, 0, n - 1)]      # (n+1, 10) base i-1
+    ax_m = np.logaddexp(
+        np.logaddexp(A_M[:, p] + Li[:, _K["tMM"]],
+                     A_I[:, p] + Li[:, _K["tIM"]]),
+        A_D[:, p] + Li[:, _K["tDM"]])
+    ax_d = np.logaddexp(A_M[:, p] + Lm1[:, _K["tMD"]],
+                        A_D[:, p] + Lm1[:, _K["tDD"]])
+
+    def em_vs(base: int) -> np.ndarray:
+        return np.where((q == base) & (q < 4),
+                        Li[:n, _K["em_match"]],
+                        Li[:n, _K["em_mis"]]).astype(np.float32)
+
+    def lse(a):
+        out = NEG
+        for v in a:
+            out = np.logaddexp(out, v)
+        return out
+
+    def cross(em_row, col: int) -> float:
+        terms = [ax_d + B_D[:, col]]
+        if em_row is not None:
+            terms.append(ax_m[:n] + em_row + B_M[1:, col])
+        return float(lse(np.concatenate(terms)))
+
+    out = np.full(9, NEG, np.float32)
+    for b in range(4):
+        out[b] = cross(em_vs(b), p + 1)
+        out[4 + b] = cross(em_vs(b), p)
+    if p == m - 1:
+        out[8] = lse([A_M[n, p], A_I[n, p], A_D[n, p]])
+    else:
+        out[8] = cross(em_vs(int(t[p + 1])), p + 2)
+    return out
+
+
 def mutations_of(template: np.ndarray, pos: int):
     """All single-base variants at pos: 3 subs, 1 del, 4 ins (before pos)."""
     out = []

@@ -368,11 +368,13 @@ class ShardedArrowSplicer:
 
     def __init__(self, mesh: Mesh, max_cand: int = 8, params=None,
                  chunk: int = 512, fixed_lq: int | None = None,
-                 fixed_lj: int | None = None):
+                 fixed_lj: int | None = None,
+                 tier_params: np.ndarray | None = None):
         from ..ops.arrow import ArrowSplicer
         self._base = ArrowSplicer(max_cand=max_cand, params=params,
                                   chunk=chunk, fixed_lq=fixed_lq,
-                                  fixed_lj=fixed_lj)
+                                  fixed_lj=fixed_lj,
+                                  tier_params=tier_params)
         self._base._dispatch = self._dispatch
         self._base._pick_chunk = self._pick_chunk
         self.C = max_cand
@@ -385,23 +387,28 @@ class ShardedArrowSplicer:
         return min(_bucket(N, self.n_dev),
                    _bucket(self._base.chunk, self.n_dev))
 
-    def _fn(self, Lq: int, LJ: int):
-        key = (Lq, LJ)
+    def _fn(self, Lq: int, LJ: int, tiered: bool):
+        key = (Lq, LJ, tiered)
         if key not in self._jit_cache:
             from ..ops.arrow import arrow_splice_core
             mesh, C = self.mesh, self.C
+            specs = (P(ALL, None), P(ALL, None), P(ALL), P(ALL),
+                     P(ALL, None), P(ALL, None))
+            if tiered:
+                # qtier shards with the pair axis; the tier table is
+                # small and replicated
+                specs = specs + (P(ALL, None), P())
 
             @jax.jit
             @functools.partial(
-                shard_map, mesh=mesh,
-                in_specs=(P(ALL, None), P(ALL, None), P(ALL), P(ALL),
-                          P(ALL, None), P(ALL, None)),
+                shard_map, mesh=mesh, in_specs=specs,
                 out_specs=(P(), P()),
                 # all_gather over every axis -> truly replicated; the
                 # VMA checker can't infer that
                 check_vma=False)
-            def step(q, t, n, m, cand, pvec):
+            def step(q, t, n, m, cand, pvec, qt=None, tiers=None):
                 cur, mut = arrow_splice_core(q, t, n, m, cand, pvec,
+                                             qt, tiers,
                                              Lq=Lq, LJ=LJ, C=C)
                 return (jax.lax.all_gather(cur, ALL, tiled=True),
                         jax.lax.all_gather(mut, ALL, tiled=True))
@@ -409,21 +416,29 @@ class ShardedArrowSplicer:
             self._jit_cache[key] = step
         return self._jit_cache[key]
 
-    def _dispatch(self, qa, ta, nn, mm, ca, pv, Lq: int, LJ: int):
+    def _dispatch(self, qa, ta, nn, mm, ca, pv, Lq: int, LJ: int,
+                  qt=None):
         mesh = self.mesh
-        out = self._fn(Lq, LJ)(
+        args = [
             _global_rows(np.asarray(qa), mesh, P(ALL, None)),
             _global_rows(np.asarray(ta), mesh, P(ALL, None)),
             _global_rows(np.asarray(nn), mesh, P(ALL)),
             _global_rows(np.asarray(mm), mesh, P(ALL)),
             _global_rows(np.asarray(ca), mesh, P(ALL, None)),
-            _global_rows(np.asarray(pv), mesh, P(ALL, None)))
+            _global_rows(np.asarray(pv), mesh, P(ALL, None))]
+        if qt is not None:
+            args.append(_global_rows(np.asarray(qt), mesh, P(ALL, None)))
+            args.append(jnp.asarray(self._base.tier_params))
+        out = self._fn(Lq, LJ, qt is not None)(*args)
         from . import debug
         if debug.enabled():
             from ..ops.arrow import arrow_splice_batch
             ref = arrow_splice_batch(
                 jnp.asarray(qa), jnp.asarray(ta), jnp.asarray(nn),
                 jnp.asarray(mm), jnp.asarray(ca), jnp.asarray(pv),
+                None if qt is None else jnp.asarray(qt),
+                None if qt is None
+                else jnp.asarray(self._base.tier_params),
                 Lq=Lq, LJ=LJ, C=self.C)
             debug.check_equal("arrow.ll_cur", np.asarray(out[0]),
                               np.asarray(ref[0]), atol=1e-3)
@@ -431,8 +446,8 @@ class ShardedArrowSplicer:
                               np.asarray(ref[1]), atol=1e-3)
         return out
 
-    def __call__(self, qs, ts, cands, pvecs=None):
-        return self._base(qs, ts, cands, pvecs=pvecs)
+    def __call__(self, qs, ts, cands, pvecs=None, qtiers=None):
+        return self._base(qs, ts, cands, pvecs=pvecs, qtiers=qtiers)
 
 
 class ShardedWindowVotes:

@@ -168,19 +168,23 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
             score_batch=cfg.polish.score_batch,
             splice_chunk=cfg.polish.splice_chunk,
             use_pallas=None if cfg.polish.use_pallas else False)
-        # contig-owner dataflow: device programs are per-host, mesh local
-        mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par,
-                                  local_only=multi)
-        splicer = ShardedArrowSplicer(
-            mesh, max_cand=pcfg.arrow_candidates,
-            chunk=pcfg.splice_chunk, fixed_lq=pcfg.len_cap(),
-            fixed_lj=pcfg.len_cap()) if mesh is not None else None
-        vote_ops = ShardedWindowVotes(mesh) \
-            if mesh is not None and mesh.shape["window"] > 1 else None
-        if mesh is not None:
-            logger.info("polish scoring over mesh %s", dict(mesh.shape))
         read_pvecs = None
-        if cfg.polish.qv_aware and reads.mean_qv is not None:
+        read_qtiers = None
+        tier_tab = None
+        if cfg.polish.qv_aware and getattr(reads, "base_qv", None) \
+                is not None and any(len(t) for t in reads.base_qv):
+            # PER-BASE tier conditioning (real Arrow's IQV/DQV role):
+            # each read's phred track maps to tier ids; reads without a
+            # track get tier 0 = global params
+            from ..models.polisher import phred_to_tiers, tier_table
+            read_qtiers = [
+                phred_to_tiers(t) if len(t) else np.zeros(0, np.int8)
+                for t in reads.base_qv]
+            tier_tab = tier_table(pcfg.params)
+            logger.info(
+                "qv-aware polish: PER-BASE tiers for %d reads",
+                sum(1 for t in read_qtiers if len(t)))
+        elif cfg.polish.qv_aware and reads.mean_qv is not None:
             # base-quality tier: per-read params from the mean phred
             # track (reads without one, qv<=0, keep global params)
             from ..oracle.hmm import params_for_read_qv
@@ -190,8 +194,21 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
                  for q in reads.mean_qv])
             logger.info("qv-aware polish: %d reads with quality tiers",
                         int((reads.mean_qv > 0).sum()))
+        # contig-owner dataflow: device programs are per-host, mesh local
+        mesh = make_pipeline_mesh(cfg.mesh.n_devices, cfg.mesh.window_par,
+                                  local_only=multi)
+        splicer = ShardedArrowSplicer(
+            mesh, max_cand=pcfg.arrow_candidates,
+            chunk=pcfg.splice_chunk, fixed_lq=pcfg.len_cap(),
+            fixed_lj=pcfg.len_cap(),
+            tier_params=tier_tab) if mesh is not None else None
+        vote_ops = ShardedWindowVotes(mesh) \
+            if mesh is not None and mesh.shape["window"] > 1 else None
+        if mesh is not None:
+            logger.info("polish scoring over mesh %s", dict(mesh.shape))
         polisher = Polisher(pcfg, splicer=splicer, vote_ops=vote_ops,
-                            read_pvecs=read_pvecs)
+                            read_pvecs=read_pvecs,
+                            read_qtiers=read_qtiers)
         my = (np.nonzero(owners == my_host)[0] if multi
               else np.arange(len(contigs)))
         import time as _time

@@ -87,6 +87,10 @@ class SeqBatch:
     # tracks) — feeds the base-quality-conditioned pair-HMM tier
     # (SURVEY.md §2b variantCaller row); None when the source has no
     # quality track (FASTA)
+    base_qv: list | None = None
+    # optional per-read np.uint8 PHRED arrays (len == read length) —
+    # feeds the PER-BASE tier conditioning in the Arrow splice kernel
+    # (real Arrow's IQV/DQV per-base features); None without a track
 
     def __len__(self) -> int:
         return self.data.shape[0]

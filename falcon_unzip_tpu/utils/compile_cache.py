@@ -39,11 +39,37 @@ logger = logging.getLogger(__name__)
 _enabled = False
 
 
+def _host_tag() -> str:
+    """8-hex fingerprint of the host CPU's feature flags.
+
+    XLA:CPU entries are AOT-compiled FOR THE COMPILING MACHINE; loading
+    an entry produced on a host with different vector extensions makes
+    XLA warn about possible SIGILL and — measured in round 5 — changes
+    float contraction enough to flip low-margin consensus columns.
+    Salting the cache path with the feature set makes a foreign host's
+    entries invisible instead of subtly wrong.  (TPU entries embed
+    device binaries keyed by the accelerator, but they live alongside
+    the CPU entries, so the whole directory is salted.)"""
+    import hashlib
+    try:
+        with open("/proc/cpuinfo") as fh:
+            for line in fh:
+                if line.startswith("flags"):
+                    feats = " ".join(sorted(line.split(":", 1)[1].split()))
+                    return hashlib.sha256(feats.encode()).hexdigest()[:8]
+    except OSError:
+        pass
+    import platform
+    return hashlib.sha256(
+        (platform.machine() + platform.processor()).encode()
+    ).hexdigest()[:8]
+
+
 def default_dir() -> str:
     return os.environ.get(
         "FALCON_UNZIP_TPU_CACHE_DIR",
         os.path.join(os.path.expanduser("~"), ".cache",
-                     "falcon_unzip_tpu", "xla"))
+                     "falcon_unzip_tpu", f"xla-{_host_tag()}"))
 
 
 def enable(cache_dir: str | None = None) -> bool:

@@ -147,6 +147,73 @@ def mutate_read(read: np.ndarray, error_rate: float, rng) -> np.ndarray:
     return np.array(out, dtype=np.int8)
 
 
+def mutate_read_qv(read: np.ndarray, rates: np.ndarray, rng):
+    """Per-base error application + matching PHRED track.
+
+    rates: per-TRUE-base error probability.  Each emitted base carries
+    the phred of its source base's rate (inserted bases inherit the
+    rate of the base they follow) — the simulator analogue of a PacBio
+    per-base QV track whose values actually predict the local error
+    rate (the signal real Arrow's IQV/DQV conditioning exploits).
+    """
+    out: list[int] = []
+    qv: list[int] = []
+    phred = np.clip(np.round(-10.0 * np.log10(np.maximum(rates, 1e-5))),
+                    2, 40).astype(np.uint8)
+    for k, b in enumerate(read):
+        e = rates[k]
+        r = rng.random()
+        if r < e / 3:                               # mismatch
+            out.append((int(b) + int(rng.integers(1, NBASE))) % NBASE)
+            qv.append(int(phred[k]))
+        elif r < 2 * e / 3:                         # insertion
+            out.append(int(b))
+            qv.append(int(phred[k]))
+            out.append(int(rng.integers(0, NBASE)))
+            qv.append(int(phred[k]))
+        elif r < e:                                 # deletion
+            pass
+        else:
+            out.append(int(b))
+            qv.append(int(phred[k]))
+    return (np.array(out, dtype=np.int8),
+            np.array(qv, dtype=np.uint8))
+
+
+def hotspot_map(glen: int, seed: int, spacing: int = 2000,
+                width: int = 120) -> np.ndarray:
+    """Genome-positioned error hotspots (bool mask).
+
+    Real long-read error is not i.i.d.: certain loci (homopolymers,
+    GC-skew) raise the error rate for every read crossing them, often
+    STRAND-specifically.  The "hotspot" qv_profile gives reverse-strand
+    reads a high error rate inside these windows — the regime where
+    per-base QV conditioning has signal that a per-read mean does not.
+    """
+    rng = np.random.default_rng(seed ^ 0x9E3779B9)
+    mask = np.zeros(glen, bool)
+    for s in range(spacing // 2, max(glen - width, 1), spacing):
+        j = s + int(rng.integers(0, spacing // 4))
+        mask[j : j + width] = True
+    return mask
+
+
+def burst_rates(L: int, rng, base_rate: float = 0.01,
+                burst_rate: float = 0.2, burst_frac: float = 0.15,
+                burst_len: int = 150) -> np.ndarray:
+    """Per-base error-rate track: clean baseline + low-quality bursts.
+
+    Models the bimodal quality structure of real long reads (clean
+    passes vs noisy segments); ~burst_frac of bases sit in ~burst_len
+    stretches at burst_rate error."""
+    rates = np.full(L, base_rate, np.float64)
+    n_bursts = max(0, int(round(burst_frac * L / max(burst_len, 1))))
+    for _ in range(n_bursts):
+        s = int(rng.integers(0, max(1, L - burst_len + 1)))
+        rates[s : s + burst_len] = burst_rate
+    return rates
+
+
 @dataclasses.dataclass
 class SimReads:
     batch: SeqBatch
@@ -155,6 +222,7 @@ class SimReads:
     end: np.ndarray
     strand: np.ndarray = None   # 0 = forward, 1 = reverse-complement
     chimera: np.ndarray = None  # 1 = chimeric junction read
+    quals: list | None = None   # per-read uint8 PHRED (qv_profile runs)
 
 
 def simulate_reads(
@@ -165,6 +233,7 @@ def simulate_reads(
     seed: int = 1,
     rc_frac: float = 0.0,
     chimera_frac: float = 0.0,
+    qv_profile: str | None = None,
 ) -> SimReads:
     """Sample reads uniformly from both haplotypes.
 
@@ -177,6 +246,13 @@ def simulate_reads(
     artifact the reference's chimer filter targets, SURVEY.md §3.1).
     A chimeric read's truth span records its FIRST segment; the
     ``chimera`` array marks it.  0.0 keeps golden-stable behavior.
+
+    qv_profile: None keeps the uniform-error, no-quality-track
+    behavior (golden-stable).  "burst" draws a per-base error-rate
+    track per read (clean baseline + noisy bursts, see burst_rates;
+    error_rate scales the whole track relative to its ~2.9% default
+    mean) and emits matching per-read PHRED arrays in ``quals`` — the
+    fixture for per-base quality-conditioned polishing.
     """
     from ..seq import revcomp
     rng = np.random.default_rng(seed)
@@ -184,6 +260,14 @@ def simulate_reads(
     glen = len(diploid.hap0)
     n_reads = max(2, int(coverage * glen / read_len))
     seqs, hap_ids, starts, ends, strands, chim = [], [], [], [], [], []
+    quals: list[np.ndarray] | None = [] if qv_profile else None
+    qv_scale = 1.0
+    hs_mask = None
+    if qv_profile == "hotspot":
+        hs_mask = hotspot_map(glen, seed)
+    elif qv_profile:
+        # burst_rates defaults average ~0.01*0.85 + 0.2*0.15 = 0.0385
+        qv_scale = (error_rate / 0.0385) if error_rate > 0 else 1.0
     for i in range(n_reads):
         h = int(rng.integers(0, 2))
         hlen = len(haps[h])
@@ -210,10 +294,31 @@ def simulate_reads(
         else:
             raw = haps[h][s : s + L]
             ends_i = s + L
-        read = mutate_read(raw, error_rate, rng)
-        st = 1 if (rc_frac > 0 and rng.random() < rc_frac) else 0
+        if qv_profile == "hotspot":
+            # strand decided BEFORE mutation: reverse-strand reads take
+            # the high error rate inside genome hotspots
+            st = 1 if (rc_frac > 0 and rng.random() < rc_frac) else 0
+            base = error_rate if error_rate > 0 else 0.01
+            rates = np.full(len(raw), base, np.float64)
+            if st and not is_chim:
+                span = hs_mask[s : s + len(raw)]
+                rates[: len(span)] = np.where(span, 0.30,
+                                              rates[: len(span)])
+            read, q_track = mutate_read_qv(raw, rates, rng)
+        elif qv_profile:
+            st = 1 if (rc_frac > 0 and rng.random() < rc_frac) else 0
+            rates = burst_rates(len(raw), rng) * qv_scale
+            read, q_track = mutate_read_qv(raw, rates, rng)
+        else:
+            read = mutate_read(raw, error_rate, rng)
+            q_track = None
+            st = 1 if (rc_frac > 0 and rng.random() < rc_frac) else 0
         if st:
             read = revcomp(read)
+            if q_track is not None:
+                q_track = q_track[::-1].copy()
+        if quals is not None:
+            quals.append(q_track)
         seqs.append(read)
         hap_ids.append(h)
         starts.append(s)
@@ -223,11 +328,18 @@ def simulate_reads(
     names = [f"read/{i}/{hap_ids[i]}_{starts[i]}_{ends[i]}"
              + ("_chim" if chim[i] else "")
              for i in range(n_reads)]
+    batch = SeqBatch.from_strs(seqs, names=names)
+    if quals is not None:
+        batch.base_qv = quals
+        batch.mean_qv = np.array(
+            [float(t.mean()) if len(t) else 0.0 for t in quals],
+            np.float32)
     return SimReads(
-        batch=SeqBatch.from_strs(seqs, names=names),
+        batch=batch,
         hap=np.array(hap_ids, dtype=np.int8),
         start=np.array(starts, dtype=np.int64),
         end=np.array(ends, dtype=np.int64),
         strand=np.array(strands, dtype=np.int8),
         chimera=np.array(chim, dtype=np.int8),
+        quals=quals,
     )

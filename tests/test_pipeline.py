@@ -162,3 +162,44 @@ def test_unzip_full_resume_skips_all_compute(unzip_result, caplog, monkeypatch):
         res = run_unzip(cfg)
     assert res["p_ctg"] == first["p_ctg"]
     assert caplog.text.count("up to date -- skipped") >= 3
+
+
+def test_quiver_per_base_qv_fastq(tmp_path):
+    """Raw reads as FASTQ with a per-base quality track drive the
+    PER-BASE tier path through the full quiver driver (real Arrow's
+    IQV/DQV conditioning, SURVEY.md §2b variantCaller row): the run
+    completes, logs tier mode, and emits calibrated consensus."""
+    from falcon_unzip_tpu.io.fasta import write_fastq
+
+    d = tmp_path
+    dip = make_diploid(length=9000, het_rate=0.015, seed=40,
+                       het_span=(0.3, 0.7))
+    preads = simulate_reads(dip, coverage=16.0, read_len=2200,
+                            error_rate=0.0, seed=41)
+    raw = simulate_reads(dip, coverage=20.0, read_len=1800,
+                         error_rate=0.03, seed=42, rc_frac=0.5,
+                         qv_profile="hotspot")
+    write_fasta(str(d / "preads.fa"),
+                ((preads.batch.names[i], preads.batch.to_str(i))
+                 for i in range(len(preads.batch))))
+    write_fastq(str(d / "raw.fastq"),
+                ((raw.batch.names[i], raw.batch.to_str(i),
+                  (raw.quals[i] + 33).tobytes().decode("latin1"))
+                 for i in range(len(raw.batch))))
+    write_fasta(str(d / "draft.fa"), [("draft0", decode(dip.hap0))])
+    cfg = PipelineConfig(preads=str(d / "preads.fa"),
+                         reads=str(d / "raw.fastq"),
+                         draft=str(d / "draft.fa"),
+                         out_dir=str(d / "out"))
+    run_unzip(cfg)
+    res = run_quiver(cfg)
+    assert res["mean_qv"] > 30
+    fa = os.path.join(cfg.out_dir, "4-polish", "cns_p_ctg.fasta")
+    cns = read_fasta(fa)
+    assert len(cns) >= 1
+    # polished primary matches one haplotype closely (chunk containment)
+    s = cns.to_str(0)
+    hap_strs = [decode(dip.hap0), decode(dip.hap1)]
+    chunks = [s[o : o + 400] for o in range(0, len(s) - 400, 400)]
+    n_hit = sum(any(c in h for h in hap_strs) for c in chunks)
+    assert n_hit >= 0.9 * len(chunks), (n_hit, len(chunks))
