@@ -422,6 +422,21 @@ class Unzipper:
             cur = start
             w_ctg, hi = self._walk_anchor(start)
             rescue_ok = w_ctg >= 0 and w_ctg not in self._primary_done
+            if rescue_ok:
+                # reference parity: the p_ctg spans the WHOLE draft
+                # (it is the tiling path) — keep the draft's head when
+                # the leftmost placed read starts inside it
+                ts0 = int(self.placements[0][node_read(start)])
+                draft = self.draft_seqs[w_ctg]
+                if ts0 > 0:
+                    cut = self._draft_anchor(seq_parts[0][:400], draft,
+                                             ts0, side="start")
+                    cut = ts0 if cut is None else cut
+                    if cut > 0:
+                        seq_parts.insert(
+                            0, draft[:cut].astype(np.int8))
+                        pos += cut
+                        self.n_fills += 1
 
             while True:
                 outs = {v: e for v, e in g.edges.get(cur, {}).items()
@@ -443,6 +458,22 @@ class Unzipper:
                     continue
                 if len(outs) == 1:
                     nxt = next(iter(outs))
+                    if rescue_ok and self._discont(node_read(nxt),
+                                                  w_ctg, hi):
+                        # repeat-copy shortcut edge: prefer a placed
+                        # continuation (rescue) over teleporting
+                        resc = self._gap_rescue(g, visited, w_ctg, hi,
+                                                seq_parts)
+                        if resc is not None:
+                            nxt, ext = resc
+                            self.n_rescues += 1
+                            seq_parts.append(ext)
+                            pos += len(ext)
+                            path.append(nxt)
+                            visited.add(node_read(nxt))
+                            cur = nxt
+                            hi = self._adv_hi(hi, w_ctg, node_read(nxt))
+                            continue
                     seq_parts.append(self._ext(g, cur, nxt))
                     pos += len(seq_parts[-1])
                     path.append(nxt)
@@ -457,14 +488,51 @@ class Unzipper:
                                             cfg.max_bubble_steps)
                     arms.append(arm)
                 conv = self._convergence(g, arms)
+                if conv is not None and rescue_ok:
+                    disc = [self._discont(node_read(a[0]), w_ctg, hi)
+                            for a in arms]
+                    if any(disc) and not all(disc):
+                        # repeat masquerading as a het bubble: the
+                        # "arms" are the two copies of a duplication,
+                        # placed at distant draft loci.  Follow a
+                        # continuous arm; leave the far copy's reads
+                        # unconsumed (they assemble at their own locus)
+                        conv = None
                 if conv is None:
-                    # unresolvable branch: follow the arm with the longest
-                    # total extension; other arms are left for later walks
-                    best = max(
+                    # unresolvable branch: in guided mode prefer the arm
+                    # that CONTINUES the draft — a repeat-copy shortcut
+                    # edge teleports the walk across the draft and
+                    # silently skips everything in between (measured:
+                    # 7 kb interior skip on a 60 kb segdup sim); among
+                    # continuing arms, longest total extension wins.
+                    # Other arms are left for later walks.
+                    def _arm_cont(i: int) -> int:
+                        return int(self._discont(node_read(arms[i][0]),
+                                                 w_ctg, hi))
+
+                    if (rescue_ok
+                            and all(_arm_cont(i) for i in
+                                    range(len(arms)))):
+                        # every arm teleports: dead end on the draft —
+                        # rescue to the placed continuation instead
+                        resc = self._gap_rescue(g, visited, w_ctg, hi,
+                                                seq_parts)
+                        if resc is not None:
+                            nxt, ext = resc
+                            self.n_rescues += 1
+                            seq_parts.append(ext)
+                            pos += len(ext)
+                            path.append(nxt)
+                            visited.add(node_read(nxt))
+                            cur = nxt
+                            hi = self._adv_hi(hi, w_ctg, node_read(nxt))
+                            continue
+                    best = min(
                         range(len(arms)),
-                        key=lambda i: (sum(len(self._ext(g, *p)) for p in
-                                           zip([cur] + arms[i], arms[i])),
-                                       -i))
+                        key=lambda i: (_arm_cont(i),
+                                       -sum(len(self._ext(g, *p)) for p in
+                                            zip([cur] + arms[i], arms[i])),
+                                       i))
                     nxt = arms[best][0]
                     seq_parts.append(self._ext(g, cur, nxt))
                     pos += len(seq_parts[-1])
@@ -513,18 +581,44 @@ class Unzipper:
                         p_start=bubble_start, p_end=pos,
                         reads=[node_read(nn) for nn in apath],
                         phase=phases[ai]))
-                # continue from the convergence node
+                # continue from the convergence node.  conv may sit
+                # several edges past the primary arm's end
+                # (_convergence BFS looks convergence_depth levels out,
+                # e.g. nested bubbles in repeats) — walk the actual
+                # edge path to it instead of assuming a direct edge
+                # (round-5 fix: KeyError crash on repeat-rich graphs)
                 if node_read(conv) in visited:
                     break
-                seq_parts.append(self._ext(g, pcur, conv))
-                pos += len(seq_parts[-1])
-                path.append(conv)
-                visited.add(node_read(conv))
-                hi = self._adv_hi(hi, w_ctg, node_read(conv))
+                hop = self._path_to(g, pcur, conv,
+                                    cfg.convergence_depth + 2)
+                if hop is None or any(node_read(nn) in visited
+                                      for nn in hop[:-1]):
+                    break
+                for nn in hop:
+                    seq_parts.append(self._ext(g, pcur, nn))
+                    pos += len(seq_parts[-1])
+                    path.append(nn)
+                    visited.add(node_read(nn))
+                    hi = self._adv_hi(hi, w_ctg, node_read(nn))
+                    pcur = nn
                 cur = conv
 
             if rescue_ok:
                 self._primary_done.add(w_ctg)
+                # ... and the draft's tail past the last covered read
+                # (nothing left to rescue on this draft, or the walk
+                # broke on a visited node — the reference's p_ctg keeps
+                # the remaining tiling path either way)
+                draft = self.draft_seqs[w_ctg]
+                if 0 <= hi < len(draft):
+                    cut = self._draft_anchor(
+                        self._walk_tail(seq_parts, 400), draft, hi,
+                        side="end")
+                    cut = hi if cut is None else cut
+                    if cut < len(draft):
+                        seq_parts.append(draft[cut:].astype(np.int8))
+                        pos += len(draft) - cut
+                        self.n_fills += 1
             p_out.append((name, np.concatenate(seq_parts),
                           [node_read(n) for n in path]))
             walk_paths[name] = path
@@ -656,6 +750,29 @@ class Unzipper:
             return 0, 0
         return min(ss), max(ee)
 
+    def _path_to(self, g: StringGraph, src: int, dst: int,
+                 depth: int) -> list[int] | None:
+        """Deterministic BFS edge path src -> dst (exclusive of src,
+        inclusive of dst), at most `depth` hops; None if unreachable."""
+        if dst in g.edges.get(src, {}):
+            return [dst]
+        parent = {src: None}
+        frontier = [src]
+        for _ in range(depth):
+            nxt = []
+            for u in frontier:
+                for v in sorted(g.edges.get(u, {})):
+                    if v not in parent:
+                        parent[v] = u
+                        if v == dst:
+                            out = [v]
+                            while parent[out[-1]] != src:
+                                out.append(parent[out[-1]])
+                            return out[::-1]
+                        nxt.append(v)
+            frontier = nxt
+        return None
+
     def _convergence(self, g: StringGraph, arms: list[list[int]]):
         """First node shared by all arms, else None.
 
@@ -706,6 +823,32 @@ class Unzipper:
         if ts[r] < 0:
             return -1, -1
         return int(self.placement_ctg[r]), int(te[r])
+
+    def _discont(self, r: int, w_ctg: int, hi: int) -> bool:
+        """True when read r's placement TELEPORTS the guided walk.
+
+        A string-graph edge between two copies of a segmental
+        duplication is locally valid (the copies overlap at ~97%
+        identity) but jumps the walk to a distant draft locus,
+        silently skipping everything in between (measured: repeat
+        regions missing from the 60 kb segdup sim's primary).  The
+        reference cannot teleport — its primary IS the draft tiling
+        path — so the guided walk refuses placed edges that land far
+        from the current draft cursor; unplaced reads (bubble
+        interiors, junk) stay neutral."""
+        if not self._guided or w_ctg < 0:
+            return False
+        ts, te = self.placements
+        if ts[r] < 0:
+            return False
+        if int(self.placement_ctg[r]) != w_ctg:
+            return True
+        # only FAR jumps count: reads inside a duplication multi-map
+        # between copies, so their single placement can legitimately
+        # sit a few kb off — flagging those would refuse correct edges
+        far = max(20_000, 2 * self.cfg.max_join_gap)
+        return (int(ts[r]) > hi + far
+                or int(te[r]) < hi - far)
 
     def _adv_hi(self, hi: int, w_ctg: int, r: int) -> int:
         """Advance the walk's rightmost draft coordinate past read r,
@@ -763,6 +906,19 @@ class Unzipper:
             if best_key is None or key < best_key:
                 best_key, best = key, r
         if best is None:
+            # dead zone longer than max_join_gap: the reference keeps
+            # the draft's own sequence through it (the p_ctg IS the
+            # tiling path, SURVEY.md §3.3) — jump to the NEXT placed
+            # read at ANY distance; the fill path bridges the gap with
+            # draft sequence
+            for r in rs[hi_i:]:
+                r = int(r)
+                if (r in visited or g.contained[r]
+                        or int(te[r]) <= hi):
+                    continue
+                best = r
+                break
+        if best is None:
             return None
         n = node(best, int(self.placement_strand[best]))
         return n, self._splice_ext(seq_parts, best, hi)
@@ -787,35 +943,138 @@ class Unzipper:
         if t_s >= hi:
             # genuine coverage gap: fill from the draft (the reference
             # keeps the draft's own sequence through unphaseable or
-            # uncovered stretches rather than breaking the contig)
+            # uncovered stretches rather than breaking the contig).
+            # Both fill junctions are anchored exactly where possible:
+            # placement coordinates carry a few bases of alignment
+            # fuzz, and an unanchored cut loses/duplicates that many
+            # bases at every fill.
             self.n_fills += 1
-            fill = self.draft_seqs[int(self.placement_ctg[r])][hi:t_s]
+            draft = self.draft_seqs[int(self.placement_ctg[r])]
+            tail = self._walk_tail(seq_parts, 400)
+            lo_cut = self._draft_anchor(tail, draft,
+                                        hi, side="end") or hi
+            hd_cut = self._draft_anchor(R[:400], draft,
+                                        t_s, side="start")
+            if hd_cut is not None:
+                fill = draft[lo_cut:hd_cut]
+                return np.concatenate([fill.astype(R.dtype), R])
+            fill = draft[lo_cut:t_s]
             return np.concatenate([fill.astype(R.dtype), R])
-        # reads overlap on the draft: exact splice at a unique shared
-        # anchor k-mer near the walk tip (preads are near-error-free;
-        # anchors stepping back dodge het sites in the tip window)
+        # reads overlap on the draft: exact splice at a shared anchor
+        # k-mer near the walk tip (preads are near-error-free; anchors
+        # stepping back dodge het sites in the tip window).  Round-5
+        # fix (qv_attrib on E2E_r05_n50: 458 of 472 residual errors were
+        # runs of MISSING bases at walk junctions): a globally-unique
+        # anchor can still be the WRONG occurrence inside a repeat, and
+        # junctions cluster exactly there — so the anchor is now chosen
+        # POSITION-CONSISTENTLY (nearest occurrence to the placement
+        # expectation, all occurrences considered) and must be CONFIRMED
+        # by a second, disjoint anchor mapping with the same offset
+        # before the cut is trusted.
         k = self.cfg.rescue_anchor_k
         tail = self._walk_tail(seq_parts, 2 * (hi - t_s) + 2000)
         tb, Rb = tail.tobytes(), R.tobytes()
-        if len(tb) >= k:
-            for back in range(0, min(len(tb) - k, 1024) + 1, 16):
+
+        def occurrences(pat: bytes) -> list[int]:
+            out, j = [], Rb.find(pat)
+            while j >= 0 and len(out) < 32:
+                out.append(j)
+                j = Rb.find(pat, j + 1)
+            return out
+
+        if len(tb) >= 2 * k:
+            # expected cut in R of the walk-tip END, from placements:
+            # tip maps to draft hi, R starts at draft t_s
+            j_exp = hi - t_s
+            for back in range(0, min(len(tb) - 2 * k, 1024) + 1, 16):
                 a = tb[len(tb) - k - back: len(tb) - back or None]
-                j = Rb.find(a)
-                if j >= 0 and Rb.find(a, j + 1) < 0:
+                occ = occurrences(a)
+                if not occ:
+                    continue
+                # cut implied by each occurrence; prefer nearest to the
+                # placement expectation
+                cuts = sorted(occ, key=lambda j: abs(j + k + back - j_exp))
+                j = cuts[0]
+                # confirm with a disjoint anchor k further back: it must
+                # land exactly k earlier (same offset delta)
+                a2 = tb[len(tb) - 2 * k - back: len(tb) - k - back]
+                occ2 = occurrences(a2)
+                if (j - k) in occ2:
                     return R[min(len(R), j + k + back):]
-        # no unique anchor (opposite-haplotype junction, repeat, het
+        # no confirmed anchor (opposite-haplotype junction, repeat, het
         # cluster): banded-align the walk tip onto R's head to find the
-        # exact junction (free start/end in R), falling back to the
-        # draft-coordinate cut only if even that fails
+        # junction — and pin the cut at the END of the LAST EXACT match
+        # run of the traceback (a free-end edit path can place the
+        # final bases a few positions off inside repeats; an exact
+        # >=16-run is positionally unambiguous).  Draft-coordinate cut
+        # only if even that fails.
         q = tail[-400:]
         cap = min(len(R), (hi - t_s) + 600)
         if len(q) >= 64 and cap >= 64:
-            from ..oracle.align import banded_dp
-            dist, end, _bp, _lo = banded_dp(q, R[:cap], W=128,
-                                            mode="tglocal")
+            from ..oracle.align import banded_dp, traceback_banded
+            dist, end, bp, lo_arr = banded_dp(q, R[:cap], W=128,
+                                              mode="tglocal")
             if dist <= 0.25 * len(q):
+                moves = traceback_banded(bp, lo_arr, end)
+                from ..ops.banded_align import (MOVE_DIAG, MOVE_LEFT,
+                                                MOVE_UP)
+                mv = np.asarray(moves)
+                ct = (mv == MOVE_DIAG) | (mv == MOVE_LEFT)
+                cq = (mv == MOVE_DIAG) | (mv == MOVE_UP)
+                jj = int(end[1]) - int(ct.sum()) + np.cumsum(ct)  # R pos
+                ii = len(q) - int(cq.sum()) + np.cumsum(cq)       # q pos
+                eq = ((mv == MOVE_DIAG)
+                      & (q[np.clip(ii - 1, 0, len(q) - 1)]
+                         == R[np.clip(jj - 1, 0, cap - 1)]))
+                # last index where an exact 16-run ends
+                run, cut = 0, -1
+                for x in range(len(mv)):
+                    run = run + 1 if eq[x] else 0
+                    if run >= 16:
+                        cut = x
+                if cut >= 0:
+                    # continue from R after that run, replaying the
+                    # walk-tip bases past the run (they are walk
+                    # sequence, already emitted)
+                    q_after = len(q) - int(ii[cut])
+                    r_after = int(jj[cut]) + q_after
+                    return R[min(len(R), r_after):]
                 return R[int(end[1]):]
         return R[min(len(R), max(0, hi - t_s)):]
+
+    def _draft_anchor(self, seg: np.ndarray, draft: np.ndarray,
+                      guess: int, side: str, k: int = 32,
+                      win: int = 600) -> int | None:
+        """Anchor a junction on the draft near coordinate `guess`.
+
+        side="end":   seg is a walk TAIL — returns the draft coordinate
+                      just PAST seg's last base (fill starts there).
+        side="start": seg is a continuation HEAD — returns the draft
+                      coordinate of seg's first base (fill ends there).
+        Anchors step back/forward past het mismatches; the nearest
+        in-window occurrence to `guess` wins.  None when no anchor fits.
+        """
+        sb = seg.tobytes()
+        lo = max(0, guess - win)
+        db = draft[lo : guess + win].tobytes()
+        if len(sb) < k or len(db) < k:
+            return None
+        for back in range(0, min(len(sb) - k, 160) + 1, 16):
+            if side == "end":
+                a = sb[len(sb) - k - back : len(sb) - back or None]
+            else:
+                a = sb[back : back + k]
+            best = None
+            j = db.find(a)
+            while j >= 0:
+                cand = (lo + j + k + back if side == "end"
+                        else lo + j - back)
+                if best is None or abs(cand - guess) < abs(best - guess):
+                    best = cand
+                j = db.find(a, j + 1)
+            if best is not None:
+                return max(0, min(len(draft), best))
+        return None
 
     def _pick_start(self, g: StringGraph, visited: set[int]):
         """Deterministic start node for the next walk.

@@ -115,10 +115,19 @@ def contig_lengths(genome_bp: int, profile: str) -> list[int]:
     n50     : realistic FALCON-primary shape (VERDICT r3 next #2) — a
               few contigs spanning ~half the genome down to ~5%, e.g.
               10 Mb -> [5 Mb, 2 Mb, 1 Mb, 650 kb, 650 kb, 700 kb].
+    fungal  : BASELINE.json config-5 shape — a ~40 Mb-class diploid
+              fungal draft as FALCON emits it: 16 contigs from 15% of
+              the genome down to ~2%, N50 ≈ 7.5% of genome (3 Mb at
+              40 Mb, matching published fungal FALCON assemblies).
     """
     if profile == "n50":
         fr = [0.5, 0.2, 0.1, 0.065, 0.065, 0.07]
         lens = [int(genome_bp * f) for f in fr[:-1]]
+        return lens + [genome_bp - sum(lens)]
+    if profile == "fungal":
+        fr = [0.15, 0.125, 0.1, 0.0875, 0.075, 0.075, 0.0625, 0.0625,
+              0.05, 0.05, 0.0375, 0.0375, 0.025, 0.025, 0.02]
+        lens = [int(genome_bp * f) for f in fr]
         return lens + [genome_bp - sum(lens)]
     n_ctg = max(1, genome_bp // 50_000)
     return [genome_bp // n_ctg] * n_ctg

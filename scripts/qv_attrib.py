@@ -131,7 +131,7 @@ def main():
         "median_dist_to_het": float(np.median(dh)) if len(dh) else None,
         # background: uniform errors would sit ~step/4 from an edge
         "expected_uniform_window_edge": step / 4,
-        "sample": errs[:25],
+        "sample": errs[:600],
     }
     print(json.dumps(out))
 

@@ -86,3 +86,55 @@ def test_haplotigs_survive_thin_coverage(thin_run):
     _d, dip, _cfg, res = thin_run
     # het bubbles still come out as haplotigs
     assert res["h_ctg"]["n_seqs"] >= 1
+
+
+@pytest.fixture(scope="module")
+def repeat_thin_run(tmp_path_factory):
+    """Thin coverage over a repeat-rich diploid: gap rescues fire INSIDE
+    segmental duplications, where round-5's qv_attrib found the walk
+    junction skipping same-haplotype bases (runs of cns_missing_base on
+    E2E_r05_n50).  The position-consistent, double-anchor splice must
+    stay exact here."""
+    d = tmp_path_factory.mktemp("repthin")
+    dip = make_diploid(length=60_000, het_rate=0.015, seed=81,
+                       het_span=(0.1, 0.9), n_repeats=3,
+                       repeat_len=3000, repeat_identity=0.97)
+    preads = simulate_reads(dip, coverage=7.0, read_len=2200,
+                            error_rate=0.0, seed=82)
+    write_fasta(str(d / "preads.fa"),
+                ((preads.batch.names[i], preads.batch.to_str(i))
+                 for i in range(len(preads.batch))))
+    write_fasta(str(d / "draft.fa"), [("draft0", decode(dip.hap0))])
+    cfg = PipelineConfig(preads=str(d / "preads.fa"),
+                         draft=str(d / "draft.fa"),
+                         out_dir=str(d / "out"))
+    res = run_unzip(cfg)
+    return d, dip, cfg, res
+
+
+def test_repeat_rescue_junctions_exact(repeat_thin_run):
+    _d, dip, cfg, res = repeat_thin_run
+    p = read_fasta(os.path.join(cfg.out_dir, "3-unzip", "all_p_ctg.fa"))
+    haps = [decode(dip.hap0), decode(dip.hap1)]
+    rc = str.maketrans("ACGT", "TGCA")
+    tot, bad_windows = 0, 0
+    for i in range(len(p)):
+        s = p.to_str(i)
+        if not any(s[:200] in h for h in haps):
+            s = s.translate(rc)[::-1]
+        wins = [s[o:o + 100] for o in range(0, len(s) - 99, 100)]
+        tot += len(wins)
+        bad_windows += sum(not any(w in h for h in haps) for w in wins)
+    # every junction may break at most ~2 windows; runs of missing
+    # bases (the round-5 bug: 458 missing over ~40 junctions) would
+    # blow well past this bound
+    assert tot > 0
+    assert bad_windows <= 14, (bad_windows, tot)
+    # no duplicated primary sequence; some REPEAT-interior loss is a
+    # known limitation at 7x over 97%-identity segdups (reads inside a
+    # copy multi-map, so copies partially collapse — real assemblers
+    # collapse here too); the walk must still keep >= 80% and stay one
+    # piece
+    assert res["p_ctg"]["total_bp"] <= 1.03 * len(dip.hap0)
+    assert res["p_ctg"]["total_bp"] >= 0.80 * len(dip.hap0)
+    assert res["p_ctg"]["n_seqs"] == 1

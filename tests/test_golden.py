@@ -34,13 +34,18 @@ from falcon_unzip_tpu.utils.simulate import make_diploid, simulate_reads
 # both contigs verified exact substrings of their truth haplotypes
 # (p 5650 bp, h 5394 bp), polish still byte-reproduces them, and
 # all_phased_reads is byte-UNCHANGED.
+# Re-derived 2026-08-21 (round 5, second pass): head/tail DRAFT FILLS —
+# the primary now spans the WHOLE draft like the reference's tiling
+# path (p grew 5650 -> 6000 bp, still an exact substring of truth
+# hap0, in fact the complete haplotype); polish byte-reproduces it;
+# haplotig + phased reads byte-UNCHANGED.
 GOLDEN = {
-    "3-unzip/all_p_ctg.fa": "2214212ca4a79346",
+    "3-unzip/all_p_ctg.fa": "2864673ab4dc9bf2",
     "3-unzip/all_h_ctg.fa": "70b2521a58bd85f1",
     "3-unzip/all_phased_reads": "3c3f04ee8364d5f6",
     # polish reproduces primary AND haplotig exactly on this sim, so the
     # cns files are legitimately byte-equal to the 3-unzip outputs
-    "4-polish/cns_p_ctg.fasta": "2214212ca4a79346",
+    "4-polish/cns_p_ctg.fasta": "2864673ab4dc9bf2",
     "4-polish/cns_h_ctg.fasta": "70b2521a58bd85f1",
 }
 
