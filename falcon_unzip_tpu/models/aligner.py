@@ -14,6 +14,7 @@ per-read objects), which feeds pileup/phasing as tensors.
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -298,11 +299,55 @@ class ReadToContigAligner:
             bq = _q_bucket(int(j_qn[ji]), aligner.use_pallas)
             bt = _t_bucket(int(j_hi[ji] - j_lo[ji]), bq)
             buckets.setdefault((bq, bt), []).append(ji)
-        # two-phase async: dispatch every chunk's device program first
-        # (uploads/kernels/downloads of consecutive chunks overlap), then
-        # collect in order — one pipeline instead of a blocking round trip
-        # per chunk
+        # two-phase async: dispatch chunks ahead of collection
+        # (uploads/kernels/downloads of consecutive chunks overlap)
+        # under a BOUNDED window — every in-flight chunk pins its input
+        # and moves buffers, and an unbounded queue contributed to the
+        # 40 Mb config-5 OOM (see models.overlapper)
+        max_inflight = int(os.environ.get(
+            "FALCON_UNZIP_TPU_MAX_INFLIGHT", "1024"))
         pending = []  # (chunk, n_real, handle)
+
+        def _drain_one():
+            chunk, n_real, handle = pending.pop(0)
+            _tp = _time.perf_counter()
+            res = aligner.collect(handle)
+            tm["fetch_s"] += _time.perf_counter() - _tp
+            _tp = _time.perf_counter()
+            for pi, ji in enumerate(chunk[:n_real]):
+                rid, strand, ctg, lo, hi, q_off, qn = jobs[ji]
+                q = qpool[q_off : q_off + qn]
+                # anchor both alignment ends on exact k-runs: smeared
+                # free-end tails (query overhang / read-end errors)
+                # emit no tags and no edits
+                cl = anchor_trim(q, self.contigs[ctg][lo:hi],
+                                 res["moves"][pi],
+                                 int(res["end_j"][pi]),
+                                 k=cfg.anchor_k)
+                if cl is None:
+                    continue
+                start_j, end_j = cl["start_j"], cl["end_j"]
+                dist = cl["dist"]
+                span = max(end_j - start_j, 1)
+                if 1.0 - dist / span < cfg.min_identity:
+                    continue
+                tags = moves_to_tags_vec(cl["q"], cl["moves"],
+                                         t_offset=lo + start_j)
+                out["read_id"].append(rid)
+                out["ctg"].append(ctg)
+                out["strand"].append(strand)
+                out["t_start"].append(lo + start_j)
+                out["t_end"].append(lo + end_j)
+                out["q_len"].append(qn)
+                out["dist"].append(dist)
+                # aligned-orientation read offset of the first kept
+                # base: overhang clip (q_off rel. to the read's pool
+                # row) + anchor trim
+                out["q_start"].append(
+                    q_off - int(roff[rid - r_lo])
+                    - (nf if strand else 0) + cl["q0"])
+                tags_out.append(tags)
+            tm["post_s"] += _time.perf_counter() - _tp
         # the Pallas grid handles any multiple of the block size, so TPU
         # chunks are 2x bigger: fewer dispatch/fetch round trips through
         # the relay (fetch LATENCY dominates, not kernel time); bigger
@@ -337,45 +382,10 @@ class ReadToContigAligner:
                     (j_hi[idx] - j_lo[idx]).astype(np.int32),
                     want_moves=True)))
                 tm["dispatch_s"] += _time.perf_counter() - _tp
-        for chunk, n_real, handle in pending:
-                _tp = _time.perf_counter()
-                res = aligner.collect(handle)
-                tm["fetch_s"] += _time.perf_counter() - _tp
-                _tp = _time.perf_counter()
-                for pi, ji in enumerate(chunk[:n_real]):
-                    rid, strand, ctg, lo, hi, q_off, qn = jobs[ji]
-                    q = qpool[q_off : q_off + qn]
-                    # anchor both alignment ends on exact k-runs: smeared
-                    # free-end tails (query overhang / read-end errors)
-                    # emit no tags and no edits
-                    cl = anchor_trim(q, self.contigs[ctg][lo:hi],
-                                     res["moves"][pi],
-                                     int(res["end_j"][pi]),
-                                     k=cfg.anchor_k)
-                    if cl is None:
-                        continue
-                    start_j, end_j = cl["start_j"], cl["end_j"]
-                    dist = cl["dist"]
-                    span = max(end_j - start_j, 1)
-                    if 1.0 - dist / span < cfg.min_identity:
-                        continue
-                    tags = moves_to_tags_vec(cl["q"], cl["moves"],
-                                             t_offset=lo + start_j)
-                    out["read_id"].append(rid)
-                    out["ctg"].append(ctg)
-                    out["strand"].append(strand)
-                    out["t_start"].append(lo + start_j)
-                    out["t_end"].append(lo + end_j)
-                    out["q_len"].append(qn)
-                    out["dist"].append(dist)
-                    # aligned-orientation read offset of the first kept
-                    # base: overhang clip (q_off rel. to the read's pool
-                    # row) + anchor trim
-                    out["q_start"].append(
-                        q_off - int(roff[rid - r_lo])
-                        - (nf if strand else 0) + cl["q0"])
-                    tags_out.append(tags)
-                tm["post_s"] += _time.perf_counter() - _tp
+                if len(pending) >= max_inflight:
+                    _drain_one()
+        while pending:
+            _drain_one()
 
         self.timings = {k: round(v, 2) for k, v in tm.items()}
         self.timings["n_jobs"] = len(jobs)

@@ -16,6 +16,7 @@ the match):
 from __future__ import annotations
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -257,9 +258,30 @@ class PreadOverlapper:
         t_src = offs[b] + t_lo + np.where(strand == 1, len(fwd), 0)
 
         # ---- chunked dispatch with vectorized packing ----------------
+        # In-flight chunks hold their packed input buffers alive until
+        # collected; unbounded two-phase async OOM-killed the 40 Mb
+        # config-5 run (~20k chunks x ~3 MB on top of an 80 GB resident
+        # set).  A bounded window keeps dispatch/fetch overlapped while
+        # capping that memory; each drain is still one concatenated RPC.
+        max_inflight = int(os.environ.get(
+            "FALCON_UNZIP_TPU_MAX_INFLIGHT", "1024"))
         pending = []  # (idx, n_real, handle)
+        meta = []     # (idx, n_real) in dispatch order, across drains
+        parts = []    # per-drain summary dicts
         tm["pack_s"] = 0.0
         tm["dispatch_s"] = 0.0
+        tm["fetch_s"] = 0.0
+
+        def _drain():
+            if not pending:
+                return
+            _td = _time.perf_counter()
+            parts.append(aligner.collect_summaries(
+                [h for _, _, h in pending]))
+            tm["fetch_s"] += _time.perf_counter() - _td
+            meta.extend((idx, n) for idx, n, _ in pending)
+            pending.clear()
+
         bounds = np.nonzero(np.diff(key[order]))[0] + 1
         from ..ops.banded_align import pallas_chunk_pairs
         for grp in np.split(order, bounds):
@@ -289,19 +311,22 @@ class PreadOverlapper:
                     qa, ta, ov[idx].astype(np.int32),
                     t_len[idx].astype(np.int32), want_moves="summary")))
                 tm["dispatch_s"] += _time.perf_counter() - _tp
+                if len(pending) >= max_inflight:
+                    _drain()
         # the moves strings are reduced ON DEVICE to a 7-int summary per
-        # pair (ops.banded_align._summarize_moves) and ALL chunks are
-        # fetched in one concatenated RPC: both the packed-moves payload
-        # and the per-chunk fetch latency were the wall-clock terms here
-        _t0 = _time.perf_counter()
-        allres = aligner.collect_summaries([h for _, _, h in pending])
-        tm["fetch_s"] = round(_time.perf_counter() - _t0, 2)
+        # pair (ops.banded_align._summarize_moves) and each drain window
+        # is fetched in one concatenated RPC: both the packed-moves
+        # payload and the per-chunk fetch latency were wall-clock terms
+        _drain()
+        tm["fetch_s"] = round(tm["fetch_s"], 2)
+        allres = ({k: np.concatenate([p[k] for p in parts])
+                   for k in parts[0]} if len(parts) > 1 else parts[0])
 
         # ---- vectorized record emission ------------------------------
         _t0 = _time.perf_counter()
         live_l, rows_l = [], []
         r0 = 0
-        for idx, n, _ in pending:           # rows: chunk-padded layout
+        for idx, n in meta:                 # rows: chunk-padded layout
             live_l.append(idx[:n])
             rows_l.append(np.arange(r0, r0 + n))
             r0 += len(idx)

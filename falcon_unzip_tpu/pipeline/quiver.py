@@ -94,9 +94,29 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
     _aln = {}
 
     def get_aln():
-        """Owned-contig AlnSet (multi: records routed to contig owners)."""
+        """Owned-contig AlnSet (multi: records routed to contig owners).
+
+        Single-host runs persist the AlnSet next to 1-track (written by
+        _track, reloaded here while the stage is up to date) so a kill
+        mid-polish resumes without re-paying the raw-read alignment —
+        see pipeline.unzip.get_aln."""
         if "a" not in _aln:
             import time as _time
+            if not multi:
+                blob = os.path.join(out, "1-track", "aln_set.msgpack")
+                probe = Stage(out, "1-track",
+                              inputs=[reads_path, p_path, h_path],
+                              outputs=["read_to_contig_map.msgpack"],
+                              resume=cfg.resume)
+                if cfg.resume and probe.is_done() \
+                        and os.path.exists(blob):
+                    from ..models.aligner import AlnSet
+                    _t0 = _time.perf_counter()
+                    with open(blob, "rb") as fh:
+                        _aln["a"] = AlnSet.from_bytes(fh.read())
+                    metrics.log("align_reload",
+                                s=round(_time.perf_counter() - _t0, 2))
+                    return _aln["a"]
             _t0 = _time.perf_counter()
             aligner = ReadToContigAligner(contigs, AlignerConfig(
                 k=cfg.align.k, band=cfg.align.band,
@@ -140,6 +160,11 @@ def _run_quiver(cfg: PipelineConfig) -> dict:
             rid, ctg = rid[order], ctg[order]
         r2c = {int(rid[a]): int(ctg[a]) for a in range(len(rid))}
         serialize(st.out("read_to_contig_map.msgpack"), r2c)
+        if not multi:
+            tmp = st.out("aln_set.msgpack.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(get_aln().to_bytes())
+            os.replace(tmp, st.out("aln_set.msgpack"))
         return {"n_aligned": len(r2c)}
 
     track_stage.run(_track)

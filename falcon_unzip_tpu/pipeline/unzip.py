@@ -154,9 +154,33 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
 
     def get_aln():
         """Owned-contig AlnSet: host-sharded alignment, records routed to
-        each contig's owner host (multi); the full set on one host."""
+        each contig's owner host (multi); the full set on one host.
+
+        Single-host runs PERSIST the AlnSet next to the 1-align stage
+        (written by _track, loaded here when the stage is up to date):
+        a partial resume — killed mid-phasing/hasm — used to re-pay the
+        whole wall-clock-dominant re-alignment because only derived
+        tracking columns were durable (measured: 3294 s re-align on the
+        40 Mb config-5 restart)."""
         if "a" not in _aln_cache:
             import time as _time
+            if not multi:
+                blob = os.path.join(out, "1-align", "aln_set.msgpack")
+                probe = Stage(
+                    out, "1-align",
+                    inputs=[cfg.preads,
+                            draft_stage.out("draft_p_ctg.fa")],
+                    outputs=["read_to_contig_map.msgpack"],
+                    resume=cfg.resume)
+                if cfg.resume and probe.is_done() \
+                        and os.path.exists(blob):
+                    from ..models.aligner import AlnSet
+                    _t0 = _time.perf_counter()
+                    with open(blob, "rb") as fh:
+                        _aln_cache["a"] = AlnSet.from_bytes(fh.read())
+                    metrics.log("align_reload",
+                                s=round(_time.perf_counter() - _t0, 2))
+                    return _aln_cache["a"]
             _t0 = _time.perf_counter()
             aligner = ReadToContigAligner(contigs, AlignerConfig(
                 k=cfg.align.k, band=cfg.align.band,
@@ -240,6 +264,14 @@ def _run_unzip(cfg: PipelineConfig) -> dict:
                                      int(cols["st"][a])]
                for a in range(len(cols["rid"]))}
         serialize(st.out("read_to_contig_map.msgpack"), r2c)
+        if not multi:
+            # durable AlnSet: partial resumes reload instead of
+            # re-aligning (see get_aln); written atomically so a kill
+            # mid-write cannot leave a truncated blob that loads
+            tmp = st.out("aln_set.msgpack.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(get_aln().to_bytes())
+            os.replace(tmp, st.out("aln_set.msgpack"))
         metrics.log("align", n_aligned=len(r2c), n_reads=len(preads))
         return {"n_aligned": len(r2c)}
 
